@@ -1,0 +1,479 @@
+"""Public API: dispatching low-bit attention entry points.
+
+TPU re-design of the reference's ``src/core.py``. The reference dispatches on
+CUDA SM arch (src/core.py:82-190); on TPU every generation has an int8 MXU
+path, so dispatch is by **requested bit-width / quantization policy**, with
+one Pallas kernel family underneath. Both the legacy ``sageattn*`` names and
+the preferred ``lowbit_fa_*`` names are exported (reference
+src/__init__.py:1-17).
+
+Layouts follow the reference: ``tensor_layout="HND"`` is ``[B, H, S, D]``,
+``"NHD"`` is ``[B, S, H, D]`` (reference src/core.py:226-238). Internally all
+kernels run HND.
+
+LSE contract: ``return_lse`` returns the natural-log row logsumexp of the
+scaled logits, corrected for K smoothing — exactly the reference's contract
+for ring attention (src/core.py:123-125, 344-350).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    LOG2E,
+    flash_attention_fp,
+    lowbit_attention,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+__all__ = [
+    "lowbit_fa_attn",
+    "lowbit_fa_qk_int8_pv_fp16",
+    "lowbit_fa_qk_int8_pv_int8",
+    "lowbit_fa_qk_int4_pv_fp16",
+    "lowbit_fa_varlen",
+    "lowbit_fa_multi_precision",
+    "sageattn",
+    "sageattn_qk_int8_pv_fp16_triton",
+    "sageattn_qk_int8_pv_fp16_cuda",
+    "sageattn_qk_int8_pv_fp8_cuda",
+    "sageattn_qk_int4_pv_fp16_triton",
+    "sageattn_varlen",
+    "sageattn_multi_precision",
+    "manual_scaled_dot_product_attention",
+]
+
+
+def _to_hnd(x: jax.Array, tensor_layout: str) -> jax.Array:
+    if tensor_layout == "HND":
+        return x
+    if tensor_layout == "NHD":
+        return jnp.swapaxes(x, 1, 2)
+    raise ValueError(f"unknown tensor_layout {tensor_layout!r}")
+
+
+def _from_hnd(x: jax.Array, tensor_layout: str) -> jax.Array:
+    return x if tensor_layout == "HND" else jnp.swapaxes(x, 1, 2)
+
+
+def _pad_head_dim(x: jax.Array, multiple: int = 64) -> jax.Array:
+    """Zero-pad head_dim up to a lane-friendly multiple (reference pads to
+    64/128, src/core.py:277-287). Zero columns leave QK^T and abs-max scales
+    unchanged."""
+    d = x.shape[-1]
+    target = max(multiple, -(-d // multiple) * multiple)
+    if target == d:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, target - d)]
+    return jnp.pad(x, cfg)
+
+
+def _gran_block(qk_quant_gran: str, which: str) -> tuple[str, int]:
+    """Map the reference's granularity names onto (gran, block). The
+    reference's per-warp/per-thread granularities have no TPU analog (no
+    warps); both map to per-token scales, which dominate them in accuracy."""
+    if qk_quant_gran in ("per_token", "per_thread", "per_warp"):
+        return "per_token", 128
+    if qk_quant_gran == "per_block":
+        # Reference block sizes: Q blocks 128, K blocks 64 (quant_per_block.py).
+        return "per_block", 128 if which == "q" else 64
+    raise ValueError(f"unknown qk_quant_gran {qk_quant_gran!r}")
+
+
+def _finish_lse(lse2: jax.Array, q: jax.Array, km: Optional[jax.Array], sm_scale: float):
+    """base-2 kernel LSE -> natural log + smooth-K correction
+    (reference src/core.py:344-350: ``lse/log2e + q @ km^T * sm_scale``)."""
+    lse = lse2 / LOG2E
+    if km is not None:
+        corr = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32), km.astype(jnp.float32)
+        )[..., 0]
+        lse = lse + corr * sm_scale
+    return lse
+
+
+def lowbit_fa_qk_int8_pv_fp16(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_token",
+    pv_accum_dtype: str = "fp32",
+    smooth_k: bool = True,
+    return_lse: bool = False,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """INT8-QK attention with floating PV (reference
+    ``sageattn_qk_int8_pv_fp16_triton``/``_cuda``, src/core.py:194-352,
+    495-731).
+
+    ``pv_accum_dtype`` maps the reference's accumulation policies onto the
+    MXU: TPU matmuls accumulate fp32 natively, so {"fp16", "fp16+fp32",
+    "fp32"} all select bf16 P/V operands with an fp32 accumulator, and
+    "fp32+fp32" selects fp32 operands (slower, more mantissa for P). The
+    reference's fp16-accumulator buffer machinery
+    (qk_int_sv_f16_buffer_cuda.cu) is unnecessary on TPU by construction.
+    """
+    q = _to_hnd(q, tensor_layout)
+    k = _to_hnd(k, tensor_layout)
+    v = _to_hnd(v, tensor_layout)
+    d_og = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_og)
+    qp, kp = _pad_head_dim(q), _pad_head_dim(k)
+
+    km = quant_ops.k_mean(kp) if smooth_k else None
+    gq, bq = _gran_block(qk_quant_gran, "q")
+    gk, bk = _gran_block(qk_quant_gran, "k")
+    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+    k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+
+    pv_dtype = jnp.float32 if pv_accum_dtype == "fp32+fp32" else jnp.bfloat16
+    out = lowbit_attention(
+        q_codes,
+        k_codes,
+        v,
+        q_scale,
+        k_scale,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        pv_dtype=pv_dtype,
+        block_q=block_q,
+        block_kv=block_kv,
+        out_dtype=v.dtype,
+        return_lse=return_lse,
+        interpret=interpret,
+    )
+    if return_lse:
+        o, lse2 = out
+        lse = _finish_lse(lse2, qp, km, sm_scale)
+        return _from_hnd(o[..., :d_og], tensor_layout), lse
+    return _from_hnd(out[..., :d_og], tensor_layout)
+
+
+def lowbit_fa_qk_int8_pv_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_token",
+    smooth_k: bool = True,
+    smooth_v: bool = True,
+    return_lse: bool = False,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """INT8-QK attention with per-channel INT8 V — the TPU analog of the
+    reference's FP8-PV path (``sageattn_qk_int8_pv_fp8_cuda``,
+    src/core.py:735-941): V is quantized per channel, its scale (and, with
+    ``smooth_v``, its extracted mean) fused back in the kernel epilogue. On
+    TPU the win is halved V HBM traffic rather than an FP8 MMA."""
+    q = _to_hnd(q, tensor_layout)
+    k = _to_hnd(k, tensor_layout)
+    v = _to_hnd(v, tensor_layout)
+    d_og = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_og)
+    qp, kp = _pad_head_dim(q), _pad_head_dim(k)
+
+    km = quant_ops.k_mean(kp) if smooth_k else None
+    gq, bq = _gran_block(qk_quant_gran, "q")
+    gk, bk = _gran_block(qk_quant_gran, "k")
+    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+    k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+    v_codes, v_scale, v_mean = quant_ops.quant_v_int8_per_channel(
+        _pad_head_dim(v), smooth_v=smooth_v
+    )
+
+    out = lowbit_attention(
+        q_codes,
+        k_codes,
+        v_codes,
+        q_scale,
+        k_scale,
+        v_scale=v_scale,
+        v_mean=v_mean,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        out_dtype=v.dtype,
+        return_lse=return_lse,
+        interpret=interpret,
+    )
+    if return_lse:
+        o, lse2 = out
+        lse = _finish_lse(lse2, qp, km, sm_scale)
+        return _from_hnd(o[..., :d_og], tensor_layout), lse
+    return _from_hnd(out[..., :d_og], tensor_layout)
+
+
+def lowbit_fa_qk_int4_pv_fp16(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_token",
+    smooth_k: bool = True,
+    return_lse: bool = False,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """INT8-Q × INT4-K attention (reference
+    ``sageattn_qk_int4_pv_fp16_triton``, src/core.py:945-1036: Q 8-bit,
+    K 4-bit). K codes are nibble-packed (halved HBM traffic) and unpacked on
+    the VPU inside the kernel before the int8 MXU dot. Unlike the reference's
+    ``forward_merging``, which drops zero-points as an approximation
+    (SURVEY §"quirks"), our symmetric per-token K scales need no zero point
+    at all."""
+    q = _to_hnd(q, tensor_layout)
+    k = _to_hnd(k, tensor_layout)
+    v = _to_hnd(v, tensor_layout)
+    d_og = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_og)
+    qp, kp = _pad_head_dim(q), _pad_head_dim(k)
+
+    km = quant_ops.k_mean(kp) if smooth_k else None
+    gq, bq = _gran_block(qk_quant_gran, "q")
+    gk, bk = _gran_block(qk_quant_gran, "k")
+    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+    k_packed, k_scale = quant_ops.quant_int4(kp, km, gran=gk, block=bk, interpret=interpret)
+
+    out = lowbit_attention(
+        q_codes,
+        k_packed,
+        v,
+        q_scale,
+        k_scale,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        k_packed_int4=True,
+        block_q=block_q,
+        block_kv=block_kv,
+        out_dtype=v.dtype,
+        return_lse=return_lse,
+        interpret=interpret,
+    )
+    if return_lse:
+        o, lse2 = out
+        lse = _finish_lse(lse2, qp, km, sm_scale)
+        return _from_hnd(o[..., :d_og], tensor_layout), lse
+    return _from_hnd(out[..., :d_og], tensor_layout)
+
+
+def lowbit_fa_varlen(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    *,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_token",
+    smooth_k: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Ragged-batch INT8 attention (reference ``sageattn_varlen``,
+    src/core.py:356-491).
+
+    Inputs are packed ``[total_tokens, H, D]`` with ``cu_seqlens_*`` prefix
+    sums (the reference's flash-attn varlen convention). TPU-idiomatically
+    this becomes **segment-id masking** inside the same dense kernel: tokens
+    of different sequences never attend to each other, and global causal
+    masking restricted to equal segments is exactly per-sequence causal
+    masking (sequences are contiguous in the packed layout).
+
+    Note: the reference computes the smooth-K mean over the *whole packed
+    batch* (src/core.py:447-449) rather than per sequence; we match that —
+    softmax output is invariant to any shared K offset.
+    """
+    t, h, d_og = q.shape
+    # [T, H, D] -> HND with batch 1.
+    qh = jnp.swapaxes(q, 0, 1)[None]
+    kh = jnp.swapaxes(k, 0, 1)[None]
+    vh = jnp.swapaxes(v, 0, 1)[None]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_og)
+
+    pos_q = jnp.arange(q.shape[0])
+    pos_k = jnp.arange(k.shape[0])
+    # segment id = which sequence a token belongs to (rightmost cu bound).
+    q_seg = jnp.searchsorted(cu_seqlens_q[1:], pos_q, side="right")[None]
+    kv_seg = jnp.searchsorted(cu_seqlens_k[1:], pos_k, side="right")[None]
+
+    qp, kp = _pad_head_dim(qh), _pad_head_dim(kh)
+    km = quant_ops.k_mean(kp) if smooth_k else None
+    gq, bq = _gran_block(qk_quant_gran, "q")
+    gk, bk = _gran_block(qk_quant_gran, "k")
+    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+    k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+
+    o = lowbit_attention(
+        q_codes,
+        k_codes,
+        vh,
+        q_scale,
+        k_scale,
+        q_segment_ids=q_seg,
+        kv_segment_ids=kv_seg,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        out_dtype=v.dtype,
+        interpret=interpret,
+    )
+    return jnp.swapaxes(o[..., :d_og][0], 0, 1)  # back to [T, H, D]
+
+
+# ---------------------------------------------------------------------------
+# Multi-precision selection (reference src/core.py:1039-1096)
+# ---------------------------------------------------------------------------
+
+
+def compute_scale(x: jax.Array) -> jax.Array:
+    """Average per-tensor abs-max scale used by the selector
+    (reference ``compute_scale``, src/core.py:1039-1047)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+
+
+def select_quantization(q: jax.Array, k: jax.Array, *, fp16_threshold=0.2, int8_threshold=0.05) -> str:
+    """Pick a precision from average scale — reference thresholds
+    (src/core.py:1050-1063: >0.2 fp16, >0.05 int8, else int4). Host-side
+    (concretizes device values); see ``lowbit_fa_multi_precision``."""
+    avg = float((compute_scale(q) + compute_scale(k)) / 2.0)
+    if avg > fp16_threshold:
+        return "fp16"
+    if avg > int8_threshold:
+        return "int8"
+    return "int4"
+
+
+def lowbit_fa_multi_precision(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Dynamic bit allocation at the call level (reference
+    ``sageattn_multi_precision``, src/core.py:1066-1096): inspect tensor
+    scales, dispatch fp16 / int8 / int4. Host-side dispatch — not jittable
+    (the reference's is Python-level too); use the fixed-precision entry
+    points inside jit."""
+    choice = select_quantization(q, k)
+    if choice == "fp16":
+        # Unlike the reference's fp16 branch (which ignores tensor_layout —
+        # SURVEY §"quirks"), honor the layout.
+        qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
+        o = flash_attention_fp(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret)
+        return _from_hnd(o.astype(v.dtype), tensor_layout)
+    if choice == "int8":
+        return lowbit_fa_qk_int8_pv_fp16(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret
+        )
+    return lowbit_fa_qk_int4_pv_fp16(
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret
+    )
+
+
+# ---------------------------------------------------------------------------
+# Auto dispatch + legacy aliases
+# ---------------------------------------------------------------------------
+
+
+def lowbit_fa_attn(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    bits: str = "int8",
+    **kwargs,
+):
+    """Auto-dispatching entry point (reference ``sageattn``,
+    src/core.py:82-190). The reference branches on SM arch; every TPU
+    generation runs the same Pallas family, so dispatch is by ``bits``:
+    'int8' | 'int8_v8' (int8 V, the fp8-PV analog) | 'int4' | 'fp' | 'auto'.
+    """
+    if bits == "auto":
+        return lowbit_fa_multi_precision(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale
+        )
+    if bits == "int8":
+        return lowbit_fa_qk_int8_pv_fp16(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+        )
+    if bits == "int8_v8":
+        return lowbit_fa_qk_int8_pv_int8(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+        )
+    if bits == "int4":
+        return lowbit_fa_qk_int4_pv_fp16(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+        )
+    if bits == "fp":
+        qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
+        o = flash_attention_fp(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale, **kwargs)
+        return _from_hnd(o.astype(v.dtype), tensor_layout)
+    raise ValueError(f"unknown bits {bits!r}")
+
+
+def manual_scaled_dot_product_attention(q, k, v, *, is_causal=False, sm_scale=None, tensor_layout="HND"):
+    """Naive exact attention (reference src/core.py:46-71)."""
+    qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
+    o = attention_reference(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale)
+    return _from_hnd(o, tensor_layout)
+
+
+# Legacy reference names (reference src/__init__.py:1-17). The *_triton /
+# *_cuda suffixes are kept verbatim for drop-in parity; on TPU they select
+# quantization granularities of equivalent accuracy class (per_block ≙ the
+# triton kernels, per_token ≙ the per-warp/per-thread CUDA kernels).
+sageattn = lowbit_fa_attn
+
+
+def sageattn_qk_int8_pv_fp16_triton(q, k, v, **kw):
+    kw.setdefault("qk_quant_gran", "per_block")
+    return lowbit_fa_qk_int8_pv_fp16(q, k, v, **kw)
+
+
+def sageattn_qk_int8_pv_fp16_cuda(q, k, v, **kw):
+    kw.setdefault("qk_quant_gran", "per_token")
+    return lowbit_fa_qk_int8_pv_fp16(q, k, v, **kw)
+
+
+def sageattn_qk_int8_pv_fp8_cuda(q, k, v, **kw):
+    return lowbit_fa_qk_int8_pv_int8(q, k, v, **kw)
+
+
+def sageattn_qk_int4_pv_fp16_triton(q, k, v, **kw):
+    return lowbit_fa_qk_int4_pv_fp16(q, k, v, **kw)
+
+
+sageattn_varlen = lowbit_fa_varlen
+sageattn_multi_precision = lowbit_fa_multi_precision

@@ -1,0 +1,209 @@
+"""Functional DiT (CogVideoX-2b-class) wired to the low-bit attention API.
+
+The reference integrates by monkey-patching paddle's sdpa inside the
+CogVideoX pipeline (reference example/sageattn_cogvideo.py:14-36 and
+parallel_sageattn_cogvideo.py:45-54). Here the model is in-repo and
+functional (pure pytree params + jit-able apply), with the attention
+implementation pluggable per call:
+
+* ``attn_impl='exact'``   — jnp einsum attention (differentiable; training)
+* ``attn_impl='fp'``      — Pallas FA2 kernel (bf16 inference baseline)
+* ``attn_impl='int8'``    — INT8-QK Pallas path (the product)
+* ``attn_impl='int8_v8'`` — INT8-QK + INT8-V (fp8-PV analog)
+* ``attn_impl='int4'``    — INT8-Q x INT4-K path
+
+Flagship config mirrors CogVideoX-2b's attention geometry: 30 heads x
+head_dim 64, hidden 1920, ~17k tokens for a 49x480x720 video latent
+(SURVEY §7.6); sizes are configurable for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.core import (
+    lowbit_fa_qk_int4_pv_fp16,
+    lowbit_fa_qk_int8_pv_fp16,
+    lowbit_fa_qk_int8_pv_int8,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    dim: int = 1920
+    depth: int = 30
+    num_heads: int = 30
+    mlp_ratio: float = 4.0
+    time_embed_dim: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+def tiny_config(**kw) -> DiTConfig:
+    base = dict(dim=128, depth=2, num_heads=4, time_embed_dim=32)
+    base.update(kw)
+    return DiTConfig(**base)
+
+
+def cogvideox_2b_config(**kw) -> DiTConfig:
+    """CogVideoX-2b attention geometry (30 heads, hd64; SURVEY §7.6)."""
+    base = dict(dim=1920, depth=30, num_heads=30, time_embed_dim=512)
+    base.update(kw)
+    return DiTConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, d_in, d_out, dtype, scale=None):
+    scale = scale if scale is not None else 1.0 / math.sqrt(d_in)
+    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * scale
+    return {"w": w.astype(dtype), "b": jnp.zeros((d_out,), dtype)}
+
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig) -> Params:
+    keys = jax.random.split(key, cfg.depth + 3)
+    d, dt = cfg.dim, cfg.dtype
+    mlp_d = int(cfg.mlp_ratio * d)
+
+    def block(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "qkv": _dense_init(ks[0], d, 3 * d, dt),
+            "proj": _dense_init(ks[1], d, d, dt),
+            "mlp_in": _dense_init(ks[2], d, mlp_d, dt),
+            "mlp_out": _dense_init(ks[3], mlp_d, d, dt),
+            # adaLN modulation: 6 x dim (shift/scale/gate for attn + mlp),
+            # zero-init so each block starts as identity (adaLN-zero).
+            "ada": {
+                "w": jnp.zeros((cfg.time_embed_dim, 6 * d), dt),
+                "b": jnp.zeros((6 * d,), dt),
+            },
+        }
+
+    return {
+        "t_embed": {
+            "in": _dense_init(keys[0], cfg.time_embed_dim, cfg.time_embed_dim, dt),
+            "out": _dense_init(keys[1], cfg.time_embed_dim, cfg.time_embed_dim, dt),
+        },
+        "blocks": [block(keys[2 + i]) for i in range(cfg.depth)],
+        "final": _dense_init(keys[-1], d, d, dt, scale=0.02),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _layer_norm(x, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def timestep_embedding(t: jax.Array, dim: int, dtype) -> jax.Array:
+    """Sinusoidal embedding of diffusion timestep ``t`` [B]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1).astype(dtype)
+
+
+def _attention(q, k, v, impl: str, interpret: Optional[bool]):
+    """q/k/v: [B, H, S, D] (HND)."""
+    if impl == "exact":
+        return attention_reference(q, k, v)
+    if impl == "fp":
+        return flash_attention_fp(q, k, v, interpret=interpret).astype(q.dtype)
+    if impl == "int8":
+        return lowbit_fa_qk_int8_pv_fp16(q, k, v, interpret=interpret)
+    if impl == "int8_v8":
+        return lowbit_fa_qk_int8_pv_int8(q, k, v, interpret=interpret)
+    if impl == "int4":
+        return lowbit_fa_qk_int4_pv_fp16(q, k, v, interpret=interpret)
+    raise ValueError(f"unknown attn_impl {impl!r}")
+
+
+def dit_block_forward(p: Params, x: jax.Array, c: jax.Array, cfg: DiTConfig,
+                      attn_impl: str, interpret: Optional[bool]) -> jax.Array:
+    """One DiT block. x: [B, S, dim]; c: [B, time_embed_dim] conditioning."""
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    mod = _dense(p["ada"], jax.nn.silu(c))[:, None, :]  # [B,1,6d]
+    sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+
+    xa = _layer_norm(x) * (1 + sc_a) + sh_a
+    qkv = _dense(p["qkv"], xa).reshape(b, s, 3, h, hd)
+    q, k, v = (jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3))  # [B,H,S,hd]
+    o = _attention(q, k, v, attn_impl, interpret)
+    o = jnp.swapaxes(o, 1, 2).reshape(b, s, d).astype(x.dtype)
+    x = x + g_a * _dense(p["proj"], o)
+
+    xm = _layer_norm(x) * (1 + sc_m) + sh_m
+    x = x + g_m * _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], xm)))
+    return x
+
+
+def dit_forward(
+    params: Params,
+    x: jax.Array,
+    t: jax.Array,
+    cfg: DiTConfig,
+    *,
+    attn_impl: str = "int8",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Denoiser forward: x [B, S, dim] noisy latents, t [B] timesteps ->
+    predicted noise [B, S, dim]."""
+    c = timestep_embedding(t, cfg.time_embed_dim, cfg.dtype)
+    c = _dense(params["t_embed"]["out"], jax.nn.silu(_dense(params["t_embed"]["in"], c)))
+    for blk in params["blocks"]:
+        x = dit_block_forward(blk, x, c, cfg, attn_impl, interpret)
+    return _dense(params["final"], _layer_norm(x))
+
+
+# ---------------------------------------------------------------------------
+# Training step (diffusion denoising MSE)
+# ---------------------------------------------------------------------------
+
+
+def diffusion_loss(params, batch, key, cfg: DiTConfig, attn_impl: str = "exact"):
+    """Simple DDPM-style epsilon-prediction MSE. Training uses the
+    differentiable attention path (the quantized kernels are inference
+    operators, as in the reference — an inference-only library)."""
+    x0 = batch  # [B, S, dim] clean latents
+    kt, kn = jax.random.split(key)
+    t = jax.random.uniform(kt, (x0.shape[0],), minval=0.0, maxval=1.0)
+    noise = jax.random.normal(kn, x0.shape, x0.dtype)
+    a = jnp.cos(0.5 * jnp.pi * t)[:, None, None].astype(x0.dtype)
+    s = jnp.sin(0.5 * jnp.pi * t)[:, None, None].astype(x0.dtype)
+    xt = a * x0 + s * noise
+    pred = dit_forward(params, xt, t * 1000.0, cfg, attn_impl=attn_impl)
+    return jnp.mean((pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+
+
+def sgd_train_step(params, batch, key, cfg: DiTConfig, lr: float = 1e-4,
+                   attn_impl: str = "exact"):
+    loss, grads = jax.value_and_grad(diffusion_loss)(params, batch, key, cfg, attn_impl)
+    params = jax.tree_util.tree_map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+    return params, loss

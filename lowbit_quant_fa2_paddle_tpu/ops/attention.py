@@ -1,0 +1,412 @@
+"""Low-bit FlashAttention-2 Pallas kernels for TPU.
+
+One templated kernel family replaces the reference's entire kernel zoo
+(Triton src/triton/attn_qk_int8_per_block*.py, quantization/attn_qk_int4_*,
+CUDA csrc/qattn/qk_int_sv_f16_cuda.cu / qk_int_sv_f8_cuda.cu): the axes of
+variation become kernel-factory flags instead of separate files —
+
+* QK operand type: INT8 codes, nibble-packed INT4 codes (unpacked in-kernel
+  on the VPU before the MXU dot), or floating (bf16/fp32 — the FA2 baseline);
+* PV operand: float V, or per-channel INT8 V whose scale/mean are fused into
+  the epilogue (the TPU analog of the reference's FP8-PV path with fused
+  v_scale / v_mean, csrc/qattn/qk_int_sv_f8_cuda.cu:557-576);
+* causal (block skip above the diagonal + element mask on the band, mirroring
+  the reference's two-stage causal split, attn_qk_int8_per_block_causal.py:45-79);
+* GQA head mapping via BlockSpec index maps (reference num_kv_groups,
+  attn_qk_int8_per_block.py:104-119);
+* varlen via segment-id masks — the TPU-idiomatic replacement for cu_seqlens
+  ragged pointers (reference attn_qk_int8_block_varlen.py);
+* LSE output in base-2 (reference convention, "for cases like Ring
+  Attention", src/core.py:123-125).
+
+Design notes (TPU-first, not a port):
+- Online softmax runs in base 2 (`exp2`), with ``sm_scale * log2(e)`` folded
+  into the per-token Q scale by the wrapper — same trick as the reference
+  (quant_per_block.py:213-229) but applied to the f32 scale row, not inside
+  the quant kernel.
+- Dequantization of the int32 QK product is a rank-1 (outer product) rescale:
+  ``s = i32 * q_scale[:, None] * k_scale[None, :]`` — per-token scales cost
+  the same as the reference's coarser per-block scales here, so per-token is
+  the default granularity (it subsumes the accuracy role of the reference's
+  per-warp/per-thread scales without any warp-layout gymnastics).
+- PV accumulates in fp32 **natively on the MXU**, so the reference's
+  fp16+fp32-buffer machinery (qk_int_sv_f16_buffer_cuda.cu) is unnecessary;
+  ``pv_dtype`` only selects the P/V operand precision fed to the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
+
+LOG2E = math.log2(math.e)
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+STATS_WIDTH = 128  # lane width of the m/l scratch rows
+NEG_INIT = -1e30
+
+
+# Layout note: per-row vectors (scales, segment ids, LSE) cross the kernel
+# boundary in *column* layout [..., S, 1] when the kernel needs a [BLK, 1]
+# sublane-major column, and in *row* layout [..., 1, S] when it needs a
+# [1, BLK] lane-major row. Both reinterpretations of a [.., S] array are free
+# reshapes outside the kernel, and neither needs an in-kernel relayout.
+
+
+def _unpack_int4_halves(packed: jax.Array) -> jax.Array:
+    """Nibble-packed int4 [N, D/2] int8 -> [N, D] int8 (halves-of-D scheme:
+    low nibble of byte i is column i, high nibble is column i + D/2; see
+    ops/quant.py packing notes).
+
+    Shifts run in int32 — Mosaic cannot legalize vector shifts on i8 — and
+    the sign-extended int32 nibbles are truncated back to int8 for the MXU
+    dot."""
+    p32 = packed.astype(jnp.int32)  # sign-extends the byte
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p32, 4)  # signed high nibble
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
+def _attn_kernel(
+    # refs (built dynamically — see _build_refs ordering)
+    *refs,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    causal: bool,
+    quantized_qk: bool,
+    k_packed_int4: bool,
+    v_quantized: bool,
+    smooth_v: bool,
+    has_segments: bool,
+    sm_scale_log2e: float,
+    pv_dtype,
+):
+    # --- unpack refs in the fixed order the launcher builds them ---
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    qs_ref = ks_ref = None
+    if quantized_qk:
+        qs_ref = next(it)
+        ks_ref = next(it)
+    vs_ref = vm_ref = None
+    if v_quantized:
+        vs_ref = next(it)
+        if smooth_v:
+            vm_ref = next(it)
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref = next(it)
+        kseg_ref = next(it)
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+    acc_scr = next(it)
+
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        # Skip blocks entirely above the diagonal (reference STAGE-1/2 split).
+        should_run = j * block_kv <= i * block_q + block_q - 1
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]  # [BQ, D] int8 | float
+        k = k_ref[0, 0]  # [BK, D] int8 | [BK, D/2] packed | float
+        if k_packed_int4:
+            k = _unpack_int4_halves(k)
+
+        if quantized_qk:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            qs = qs_ref[0, 0]  # [BQ, 1] column (includes sm_scale*log2e)
+            ks = ks_ref[0, 0]  # [1, BK] row
+            s = s * qs * ks
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * sm_scale_log2e
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+            mask = col <= row
+        if kv_len % block_kv != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+            inb = col < kv_len
+            mask = inb if mask is None else jnp.logical_and(mask, inb)
+        if has_segments:
+            qseg = qseg_ref[0]  # [BQ, 1] column
+            kseg = kseg_ref[0]  # [1, BK] row
+            seg = qseg == kseg
+            mask = seg if mask is None else jnp.logical_and(mask, seg)
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...]  # [BQ, 128] (replicated)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
+        p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
+        l_curr = jnp.sum(p, axis=-1, keepdims=True)
+        l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # [BK, D] float | int8
+        pv = jax.lax.dot_general(
+            p.astype(pv_dtype),
+            v.astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_scr[...][:, :1]  # [BQ, 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = acc_scr[...] / l_safe
+        if v_quantized:
+            # Per-channel V scale commutes through P@V -> epilogue rescale
+            # (the reference's fused v_scale, qk_int_sv_f8_cuda.cu:557-576).
+            o = o * vs_ref[0, 0]  # [1, D] row
+            if smooth_v:
+                # softmax rows sum to 1 -> adding back the channel mean is a
+                # plain add (reference fused v_mean epilogue).
+                o = o + vm_ref[0, 0]
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+        m = m_scr[...][:, :1]
+        lse2 = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # base-2 LSE
+        lse_ref[0, 0] = lse2  # [BQ, 1] column
+
+
+def lowbit_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_scale: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    *,
+    v_scale: Optional[jax.Array] = None,
+    v_mean: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    k_packed_int4: bool = False,
+    pv_dtype=jnp.bfloat16,
+    block_q: int = 256,
+    block_kv: int = 256,
+    out_dtype=None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Launch the templated low-bit attention kernel. HND layout only.
+
+    Args:
+      q: ``[B, H, Sq, D]`` — int8 codes (quantized path) or bf16/fp32 (FA2
+        baseline path; then ``q_scale``/``k_scale`` must be None).
+      k: ``[B, Hk, Sk, D]`` int8 / float, or ``[B, Hk, Sk, D//2]`` packed int4
+        when ``k_packed_int4``.
+      v: ``[B, Hk, Sk, D]`` float, or int8 with ``v_scale`` (+ optional
+        ``v_mean``) per channel ``[B, Hk, D]``.
+      q_scale / k_scale: per-token scale rows ``[B, H, Sq]`` / ``[B, Hk, Sk]``
+        (f32). ``sm_scale`` and the base-2 conversion are folded into
+        ``q_scale`` here, NOT by the caller.
+      Returns ``o`` (``[B, H, Sq, D]``) and, when ``return_lse``, the base-2
+        LSE ``[B, H, Sq]`` of the *scaled* logits (callers convert to natural
+        log and apply the smooth-K correction — reference src/core.py:344-350).
+    """
+    b, h, s_q, d_q = q.shape
+    _, h_kv, s_k, _ = k.shape
+    d = v.shape[-1]
+    quantized_qk = q_scale is not None
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d if not k_packed_int4 else d)
+    if interpret is None:
+        interpret = default_interpret()
+    if out_dtype is None:
+        out_dtype = jnp.bfloat16 if quantized_qk or v.dtype == jnp.int8 else v.dtype
+    assert h % h_kv == 0
+    group = h // h_kv
+    v_quantized = v.dtype == jnp.int8
+    smooth_v = v_mean is not None
+    has_segments = q_segment_ids is not None
+
+    block_q = min(block_q, max(128, s_q))
+    block_kv = min(block_kv, max(128, s_k))
+
+    # Pad seq dims to block multiples. Padded KV columns are masked via
+    # kv_len; padded Q rows are sliced away (their l may be 0 -> guarded).
+    sq_pad = cdiv(s_q, block_q) * block_q
+    sk_pad = cdiv(s_k, block_kv) * block_kv
+
+    def pad_seq(x, target, axis=2):
+        if x is None or x.shape[axis] == target:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, target - x.shape[axis])
+        return jnp.pad(x, cfg)
+
+    q = pad_seq(q, sq_pad)
+    k = pad_seq(k, sk_pad)
+    v = pad_seq(v, sk_pad)
+    if quantized_qk:
+        q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
+        q_scale = pad_seq(q_scale, sq_pad, axis=2)
+        k_scale = pad_seq(k_scale.astype(jnp.float32), sk_pad, axis=2)
+    if has_segments:
+        # Padded positions get segment id -1 (never matches valid ids >= 0).
+        if q_segment_ids.shape[1] != sq_pad:
+            q_segment_ids = jnp.pad(
+                q_segment_ids, ((0, 0), (0, sq_pad - q_segment_ids.shape[1])), constant_values=-1
+            )
+        if kv_segment_ids.shape[1] != sk_pad:
+            kv_segment_ids = jnp.pad(
+                kv_segment_ids, ((0, 0), (0, sk_pad - kv_segment_ids.shape[1])), constant_values=-2
+            )
+
+    grid = (b, h, sq_pad // block_q, sk_pad // block_kv)
+
+    d_k = k.shape[-1]  # packed width when int4
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d_q), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d_k), lambda bi, hi, qi, ki: (bi, hi // group, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, qi, ki: (bi, hi // group, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if quantized_qk:
+        # q_scale as a column [B,H,Sq,1]; k_scale as a row [B,Hk,1,Sk].
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_kv), lambda bi, hi, qi, ki: (bi, hi // group, 0, ki), memory_space=pltpu.VMEM),
+        ]
+        args += [q_scale[..., None], k_scale[:, :, None, :]]
+    if v_quantized:
+        assert v_scale is not None
+        in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, qi, ki: (bi, hi // group, 0, 0), memory_space=pltpu.VMEM))
+        args.append(v_scale.astype(jnp.float32)[:, :, None, :])
+        if smooth_v:
+            in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, qi, ki: (bi, hi // group, 0, 0), memory_space=pltpu.VMEM))
+            args.append(v_mean.astype(jnp.float32)[:, :, None, :])
+    if has_segments:
+        # q segments as a column [B,Sq,1]; kv segments as a row [B,1,Sk].
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), lambda bi, hi, qi, ki: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), lambda bi, hi, qi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+        ]
+        args += [
+            q_segment_ids.astype(jnp.int32)[:, :, None],
+            kv_segment_ids.astype(jnp.int32)[:, None, :],
+        ]
+
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype),
+        jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+    ]
+
+    kernel = functools.partial(
+        _attn_kernel,
+        q_len=s_q,
+        kv_len=s_k,
+        block_q=block_q,
+        block_kv=block_kv,
+        causal=is_causal,
+        quantized_qk=quantized_qk,
+        k_packed_int4=k_packed_int4,
+        v_quantized=v_quantized,
+        smooth_v=smooth_v,
+        has_segments=has_segments,
+        sm_scale_log2e=float(sm_scale) * LOG2E,
+        pv_dtype=pv_dtype,
+    )
+
+    # Causal halves the average work per kv row; reflect it in the cost
+    # estimate so XLA schedules neighbours sensibly.
+    flops = 4 * b * h * sq_pad * sk_pad * d * (0.5 if is_causal else 1.0)
+    o, lse2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
+            pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(q.size * q.dtype.itemsize + k.size + v.size * v.dtype.itemsize),
+            transcendentals=int(b * h * sq_pad * sk_pad),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    o = o[:, :, :s_q]
+    if return_lse:
+        return o, lse2[:, :, :s_q, 0]
+    return o
+
+
+def flash_attention_fp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Floating-point FlashAttention-2 on the same kernel skeleton — the
+    on-chip baseline the low-bit kernels are benchmarked against (role of the
+    reference's FA2 baseline, utils/benchmark.py:74-176)."""
+    return lowbit_attention(
+        q,
+        k,
+        v,
+        None,
+        None,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        return_lse=return_lse,
+        interpret=interpret,
+    )
