@@ -110,8 +110,8 @@ def lowbit_fa_qk_int8_pv_fp16(
     pv_accum_dtype: str = "fp32",
     smooth_k: bool = True,
     return_lse: bool = False,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: Optional[bool] = None,
 ):
     """INT8-QK attention with floating PV (reference
@@ -174,8 +174,8 @@ def lowbit_fa_qk_int8_pv_int8(
     smooth_k: bool = True,
     smooth_v: bool = True,
     return_lse: bool = False,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: Optional[bool] = None,
 ):
     """INT8-QK attention with per-channel INT8 V — the TPU analog of the
@@ -234,8 +234,8 @@ def lowbit_fa_qk_int4_pv_fp16(
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
     return_lse: bool = False,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: Optional[bool] = None,
 ):
     """INT8-Q × INT4-K attention (reference

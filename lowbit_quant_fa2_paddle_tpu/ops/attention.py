@@ -85,6 +85,7 @@ def _attn_kernel(
     quantized_qk: bool,
     k_packed_int4: bool,
     v_quantized: bool,
+    pv_int8: bool,
     smooth_v: bool,
     has_segments: bool,
     sm_scale_log2e: float,
@@ -179,12 +180,24 @@ def _attn_kernel(
         l_scr[...] = l_next
 
         v = v_ref[0, 0]  # [BK, D] float | int8
-        pv = jax.lax.dot_general(
-            p.astype(pv_dtype),
-            v.astype(pv_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if v_quantized and pv_int8:
+            # True INT8 P@V on the MXU (2x bf16 throughput): quantize the
+            # softmax weights to int8 with the static scale 127 (p rows max
+            # at exp2(0)=1 by construction) and rescale the int32 result.
+            # This is the TPU analog of the reference's FP8 P conversion
+            # with exponent offset (csrc/qattn/qk_int_sv_f8_cuda.cu,
+            # S_FP8_OFFSET): same role, integer arithmetic instead.
+            p8 = (p * 127.0 + 0.5).astype(jnp.int8)  # p >= 0: round down +.5
+            pv = jax.lax.dot_general(
+                p8, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (1.0 / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(pv_dtype),
+                v.astype(pv_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(j == nk - 1)
@@ -220,9 +233,10 @@ def lowbit_attention(
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
+    pv_int8: bool = True,
     pv_dtype=jnp.bfloat16,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     out_dtype=None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
@@ -345,6 +359,7 @@ def lowbit_attention(
         quantized_qk=quantized_qk,
         k_packed_int4=k_packed_int4,
         v_quantized=v_quantized,
+        pv_int8=pv_int8,
         smooth_v=smooth_v,
         has_segments=has_segments,
         sm_scale_log2e=float(sm_scale) * LOG2E,
@@ -389,8 +404,8 @@ def flash_attention_fp(
     *,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):

@@ -5,11 +5,14 @@ Keeps the reference's conventions exactly:
 * TFLOP/s = flops / mean latency;
 * warmup + timed reps.
 
-Timing is TPU-remote-safe: on some transports ``block_until_ready`` acks
-before the device finishes, so wall-clock timing uses **chained data
-dependencies** (the output of call *i* feeds call *i+1*) terminated by a
-scalar device->host fetch, and removes the constant fetch/dispatch overhead
-with a two-point slope fit: t = (T(r2) - T(r1)) / (r2 - r1).
+Timing is TPU-remote-safe. On some transports ``block_until_ready`` acks
+before the device finishes, so wall-clock timing of N independent dispatches
+is meaningless. Instead the whole measurement is ONE jitted ``lax.scan`` of
+the op, with ``jax.lax.optimization_barrier`` tying each iteration's inputs
+to the previous iteration's outputs (a value-preserving, un-foldable data
+dependency — XLA cannot hoist or elide any iteration), terminated by a
+scalar device->host fetch. Constant dispatch/fetch overhead is removed with
+a two-point slope fit across rep counts: ``t = (T(r2)-T(r1)) / (r2-r1)``.
 """
 
 from __future__ import annotations
@@ -18,43 +21,51 @@ import time
 from typing import Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
-def _run_chain(fn: Callable, args: Sequence, feedback: int, reps: int) -> float:
-    """Run ``reps`` chained calls (arg[feedback] <- previous output), force
-    completion with a scalar fetch, return elapsed seconds."""
-    args = list(args)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-        first = out[0] if isinstance(out, (tuple, list)) else out
-        args[feedback] = first
-    np.asarray(jax.tree_util.tree_leaves(first)[0].ravel()[0])  # sync fetch
-    return time.perf_counter() - t0
+def _chained(fn: Callable, reps: int):
+    """Jitted runner of ``reps`` serialized iterations of ``fn``.
+
+    Both barrier outputs are consumed: the carry serializes iterations, and a
+    scalar probe of each iteration's output is summed into the fetched result
+    — XLA prunes unused optimization_barrier outputs, which would DCE the
+    whole chain."""
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*carry)
+            carry, out = jax.lax.optimization_barrier((carry, out))
+            probe = jax.tree_util.tree_leaves(out)[0].ravel()[0]
+            return carry, probe.astype(jnp.float32)
+
+        _, probes = jax.lax.scan(body, tuple(args), None, length=reps)
+        return probes.sum()
+
+    return run
 
 
 def measure_op_time(
     fn: Callable,
     args: Sequence,
     *,
-    feedback: int,
-    warmup: int = 3,
-    r1: int = 5,
-    r2: int = 15,
+    r1: int = 8,
+    r2: int = 24,
+    feedback=None,  # retained for call-site compatibility; unused
 ) -> float:
-    """Mean seconds per call of ``fn(*args)``.
-
-    ``feedback`` is the index of an argument with the same shape/dtype as the
-    (first) output; it is replaced by the previous output to serialize calls
-    without per-call host sync.
-    """
-    _run_chain(fn, args, feedback, warmup)
-    t_a = _run_chain(fn, args, feedback, r1)
-    t_b = _run_chain(fn, args, feedback, r2)
-    dt = (t_b - t_a) / (r2 - r1)
+    """Mean seconds per call of ``fn(*args)`` (first output fetched)."""
+    times = {}
+    for r in (r1, r2):
+        f = _chained(fn, r)
+        np.asarray(f(tuple(args)))  # compile + warmup
+        t0 = time.perf_counter()
+        np.asarray(f(tuple(args)))
+        times[r] = time.perf_counter() - t0
+    dt = (times[r2] - times[r1]) / (r2 - r1)
     if dt <= 0:  # noisy environment — fall back to the larger measurement
-        dt = t_b / r2
+        dt = times[r2] / r2
     return dt
 
 

@@ -125,13 +125,20 @@ def test_int8_v_quantized_epilogue_exact():
     v_codes = jax.random.randint(ks[0], (b, h, sk, d), -127, 128, jnp.int8)
     v_scale = jax.random.uniform(ks[1], (b, h, d), minval=0.005, maxval=0.02)
     v_mean = jax.random.normal(ks[2], (b, h, d)) * 0.5
-    o = lowbit_attention(
-        qc, kc, v_codes, qs, ksc, v_scale=v_scale, v_mean=v_mean,
-        pv_dtype=jnp.float32, out_dtype=jnp.float32,
-    )
     v_deq = v_codes.astype(jnp.float32) * v_scale[:, :, None, :] + v_mean[:, :, None, :]
     o_ref = attention_reference(_dequant(qc, qs), _dequant(kc, ksc), v_deq)
+    # pv_int8=False: epilogue math must be exact.
+    o = lowbit_attention(
+        qc, kc, v_codes, qs, ksc, v_scale=v_scale, v_mean=v_mean,
+        pv_int8=False, pv_dtype=jnp.float32, out_dtype=jnp.float32,
+    )
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5, rtol=1e-4)
+    # pv_int8=True (default): P quantized to 8 bits -> near-exact.
+    o8 = lowbit_attention(
+        qc, kc, v_codes, qs, ksc, v_scale=v_scale, v_mean=v_mean,
+        out_dtype=jnp.float32,
+    )
+    assert float(metrics.cosine_similarity(o8, o_ref)) > 0.999
 
 
 def test_fp_baseline_kernel():
