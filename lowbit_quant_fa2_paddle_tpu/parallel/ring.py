@@ -1,0 +1,165 @@
+"""Ring attention over the 'seq' mesh axis with base-2 LSE merging.
+
+The reference only *enables* ring attention — every kernel exports LSE "for
+cases like Ring Attention" (reference src/core.py:123-125, 560-562) and the
+actual ring lives in external xDiT (`--ring_degree`, example/run_parallel.sh).
+Here the ring is native: KV shards rotate around the ICI ring via
+``jax.lax.ppermute`` while each chip runs the quantized Pallas kernel on its
+local Q against the visiting KV block, merging partial results with exactly
+the base-2 LSE contract the kernels emit.
+
+Design (TPU-first):
+* K/V rotate as **int8 codes + scale rows**, not floats — halving ICI bytes
+  per hop is a distributed win the reference's GPU kernels never had.
+* Smooth-K uses the **global** K mean (one psum of per-shard sums), so
+  quantization matches the single-chip path bit-for-bit in distribution.
+* Causal skip: block (src > self) contributes nothing; we zero its merge
+  weight and skip its kernel via lax.cond.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
+from lowbit_quant_fa2_paddle_tpu.ops.attention import LOG2E, lowbit_attention
+
+
+def _merge(state, o_p, lse2_p, weight_on):
+    """Streaming merge of a normalized partial (o_p, base-2 lse2_p) into
+    (o_acc, l_acc, m) running state. The partial's unnormalized contribution
+    is ``o_p * 2^lse2_p`` (same online-softmax algebra as in-kernel, lifted
+    to the cross-chip level; reference's enabling contract src/core.py:123)."""
+    o_acc, l_acc, m = state
+    lse2_p = jnp.where(weight_on, lse2_p, -jnp.inf)
+    m_new = jnp.maximum(m, lse2_p)
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    a = jnp.where(jnp.isfinite(m), jnp.exp2(m - m_safe), 0.0)
+    b = jnp.where(jnp.isfinite(lse2_p), jnp.exp2(lse2_p - m_safe), 0.0)
+    o_acc = o_acc * a[..., None] + o_p.astype(jnp.float32) * b[..., None]
+    l_acc = l_acc * a + b
+    return o_acc, l_acc, m_new
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    smooth_k: bool = True,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+    **kernel_kw,
+):
+    """INT8 ring attention. Call inside shard_map with q/k/v sharded on the
+    sequence axis: local shapes ``[B, H, S/n, D]`` (HND). Sequence shards
+    must be laid out in ring order (shard i holds positions [i*S/n,(i+1)S/n)).
+    """
+    b, h, s_loc, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # Global smooth-K mean: psum of local sums over the ring.
+    km = None
+    if smooth_k:
+        k_sum = jnp.sum(k.astype(jnp.float32), axis=2, keepdims=True)
+        km = jax.lax.psum(k_sum, axis_name) / (n * k.shape[2])
+
+    q_codes, q_scale = quant_ops.quant_int8(q, gran="per_token", interpret=interpret)
+    k_codes, k_scale = quant_ops.quant_int8(k, km, gran="per_token", interpret=interpret)
+
+    o_acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
+    l_acc = jnp.zeros((b, h, s_loc), jnp.float32)
+    m = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+    state = (o_acc, l_acc, m)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    k_blk, k_s_blk, v_blk = k_codes, k_scale, v
+
+    for t in range(n):
+        src = (idx - t) % n
+
+        def attend(causal):
+            return lowbit_attention(
+                q_codes,
+                k_blk,
+                v_blk,
+                q_scale,
+                k_s_blk,
+                is_causal=causal,
+                sm_scale=sm_scale,
+                return_lse=True,
+                out_dtype=jnp.float32,
+                interpret=interpret,
+                **kernel_kw,
+            )
+
+        if is_causal:
+            if t == 0:
+                o_p, lse2 = attend(True)  # diagonal block: local causal
+                on = jnp.full((), True)
+            else:
+                # src < idx: fully visible; src > idx: fully masked (skip).
+                run = src < idx
+                o_p, lse2 = jax.lax.cond(
+                    run,
+                    lambda: attend(False),
+                    lambda: (
+                        jnp.zeros((b, h, s_loc, d), jnp.float32),
+                        jnp.full((b, h, s_loc), -jnp.inf, jnp.float32),
+                    ),
+                )
+                on = run
+        else:
+            o_p, lse2 = attend(False)
+            on = jnp.full((), True)
+
+        state = _merge(state, o_p, lse2, on)
+
+        if t < n - 1:
+            # Rotate int8 KV codes + scale rows around the ring (half the
+            # ICI bytes of a bf16 ring).
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            k_s_blk = jax.lax.ppermute(k_s_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    o_acc, l_acc, m = state
+    l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
+    o = (o_acc / l_safe[..., None]).astype(q.dtype)
+    if return_lse:
+        # natural-log LSE with the smooth-K correction, matching the
+        # single-chip contract (reference src/core.py:344-350).
+        lse = (m + jnp.log2(l_safe)) / LOG2E
+        if km is not None:
+            corr = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(jnp.float32), km.astype(jnp.float32)
+            )[..., 0]
+            lse = lse + corr * sm_scale
+        return o, lse
+    return o
+
+
+def make_ring_attention(mesh, *, axis_name: str = "seq", is_causal: bool = False, **kw):
+    """shard_map-wrapped ring attention over ``mesh``: global [B,H,S,D]
+    inputs sharded on the seq axis."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, None, axis_name, None)
+    out_specs = (spec, P(None, None, axis_name)) if kw.get("return_lse") else spec
+
+    fn = functools.partial(ring_attention, axis_name=axis_name, is_causal=is_causal, **kw)
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=out_specs, check_vma=False
+        )
+    )
