@@ -1,0 +1,300 @@
+"""Autoregressive decode attention over quantized KV caches (contiguous and
+paged), plus cache maintenance ops.
+
+TPU re-design of the reference's split-KV decode kernel
+(src/triton/utils/quant_sglang_triton_attn.py: two-stage decode — stage-1
+partial attention per KV split over a paged ``Req_to_tokens`` table with
+in-kernel dequant of packed KV, stage-2 softmax-reduce over splits, with
+``logit_cap`` tanh capping) and the KIVI quantized-KV-cache streaming
+helpers (src/triton/utils/quant/new_pack.py:9-144).
+
+Why there is no literal "stage 2" here: the reference splits KV across GPU
+SMs for occupancy and reduces partials afterwards. A TPU core runs the grid
+sequentially with double-buffered block DMA, so one kernel streams the whole
+cache at full HBM bandwidth — int8 codes halve the bytes streamed, which is
+the entire game for decode. The cross-device partial merge
+(parallel/ring.py:_merge) covers the multi-chip split case.
+
+Paged gather, TPU-style: the page table is a scalar-prefetch argument and
+the BlockSpec index map reads it — ``(hi, table[bi, ji], 0, 0)`` — so the
+automatic DMA pipeline performs the page gather; no hand-written pointer
+chasing (contrast reference ``Req_to_tokens`` arithmetic, lines 43-243).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbit_quant_fa2_paddle_tpu.ops.quant import (
+    EPS,
+    INT8_QMAX,
+    cdiv,
+    default_interpret,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.reference import round_away
+
+LOG2E = math.log2(math.e)
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NEG_INIT = -1e30
+
+
+def _decode_kernel(
+    lengths_ref,
+    table_ref,
+    q_ref,
+    k_ref,
+    ks_ref,
+    v_ref,
+    vs_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    block_kv: int,
+    logit_cap: float,
+    sm_scale: float,
+    v_quantized: bool,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[b]
+
+    @pl.when(j * block_kv < length)
+    def _compute():
+        q = q_ref[0, 0]  # [G, D] f32
+        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        ks_row = ks_ref[0, 0]  # [1, BK]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, BK]
+        s = s * ks_row * sm_scale
+        if logit_cap > 0:
+            # tanh capping in natural space (reference quant_sglang logit_cap)
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        s = s * LOG2E
+        pos = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        if v_quantized:
+            # In-kernel per-token V dequant: fold the scale row into P's
+            # columns (commutes through the PV contraction) — one [G,BK]
+            # multiply instead of a [BK,D] one.
+            p = p * vs_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        l = l_scr[...][:, :1]
+        o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_scale: jax.Array,
+    lengths: jax.Array,
+    *,
+    v_scale: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    logit_cap: float = 0.0,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-token decode attention over an int8 KV cache (GQA/MQA).
+
+    Args:
+      q: ``[B, H, D]`` float — current-token queries.
+      k_cache/v_cache: contiguous ``[B, Hk, S, D]``, or paged
+        ``[Hk, n_pages, page, D]`` with ``page_table``. int8 codes (or float
+        v_cache with ``v_scale=None``).
+      k_scale / v_scale: per-token scales: ``[B, Hk, S]`` contiguous or
+        ``[Hk, n_pages, page]`` paged.
+      lengths: ``[B]`` int32 valid lengths.
+      page_table: ``[B, max_pages]`` int32 physical page ids per sequence
+        (reference ``Req_to_tokens``). Page size must equal ``block_kv``.
+      logit_cap: >0 enables tanh logit capping.
+
+    Returns ``[B, H, D]`` in q.dtype.
+    """
+    b, h, d = q.shape
+    paged = page_table is not None
+    v_quantized = v_cache.dtype == jnp.int8
+    if v_quantized:
+        assert v_scale is not None
+
+    if paged:
+        hk, n_pages, page, _ = k_cache.shape
+        assert page == block_kv, (page, block_kv)
+        max_pages = page_table.shape[1]
+        k_rows, v_rows = k_cache, v_cache  # [Hk, Np, page, D]
+        ks_rows = k_scale.reshape(hk, n_pages, 1, page)
+        vs_rows = v_scale.reshape(hk, n_pages, 1, page) if v_quantized else None
+
+        def row_index(bi, hi, ji, lens, tbl):
+            return (hi, tbl[bi, ji], 0, 0)
+    else:
+        _, hk, s_max, _ = k_cache.shape
+        s_pad = cdiv(s_max, block_kv) * block_kv
+        if s_pad != s_max:
+            pad4 = ((0, 0), (0, 0), (0, s_pad - s_max), (0, 0))
+            k_cache = jnp.pad(k_cache, pad4)
+            v_cache = jnp.pad(v_cache, pad4)
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, s_pad - s_max)))
+            if v_quantized:
+                v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, s_pad - s_max)))
+            s_max = s_pad
+        max_pages = s_max // block_kv
+        page_table = jnp.broadcast_to(
+            jnp.arange(max_pages, dtype=jnp.int32), (b, max_pages)
+        )
+        # contiguous cache viewed as pages: rows are (b*hk + h)
+        k_rows = k_cache.reshape(b * hk, max_pages, block_kv, d)
+        v_rows = v_cache.reshape(b * hk, max_pages, block_kv, d)
+        ks_rows = k_scale.reshape(b * hk, max_pages, 1, block_kv)
+        vs_rows = (
+            v_scale.reshape(b * hk, max_pages, 1, block_kv) if v_quantized else None
+        )
+
+        def row_index(bi, hi, ji, lens, tbl):
+            return (bi * hk + hi, tbl[bi, ji], 0, 0)
+
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = default_interpret()
+    assert h % hk == 0
+    g = h // hk
+    g_pad = max(8, cdiv(g, 8) * 8)
+    qg = q.astype(jnp.float32).reshape(b, hk, g, d)
+    if g_pad != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d), row_index, memory_space=pltpu.VMEM),
+    ]
+    args = [qg, k_rows, ks_rows, v_rows]
+    if v_quantized:
+        in_specs.append(pl.BlockSpec((1, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM))
+        args.append(vs_rows)
+
+    def kernel(lengths_ref, table_ref, *refs):
+        if v_quantized:
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_s, l_s, a_s = refs
+        else:
+            q_ref, k_ref, ks_ref, v_ref, o_ref, m_s, l_s, a_s = refs
+            vs_ref = None
+        _decode_kernel(
+            lengths_ref, table_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+            o_ref, m_s, l_s, a_s,
+            block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
+            v_quantized=v_quantized,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hk, max_pages),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, g_pad, d), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *args)
+    return out[:, :, :g].reshape(b, h, d)
+
+
+# ---------------------------------------------------------------------------
+# Quantized KV cache ops (reference new_pack.py qcache helpers)
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(b: int, hk: int, s_max: int, d: int) -> dict:
+    """Contiguous int8 KV cache with per-token scales."""
+    return {
+        "k": jnp.zeros((b, hk, s_max, d), jnp.int8),
+        "v": jnp.zeros((b, hk, s_max, d), jnp.int8),
+        "k_scale": jnp.ones((b, hk, s_max), jnp.float32),
+        "v_scale": jnp.ones((b, hk, s_max), jnp.float32),
+        "length": jnp.zeros((b,), jnp.int32),
+    }
+
+
+def quantize_token(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8 quant of new-token K/V rows ``[B, Hk, D]``."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / INT8_QMAX + EPS
+    codes = jnp.clip(round_away(x.astype(jnp.float32) / scale), -INT8_QMAX, INT8_QMAX)
+    return codes.astype(jnp.int8), scale[..., 0]
+
+
+def append_kv(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
+    """Quantize and append one token's K/V ``[B, Hk, D]`` at each sequence's
+    current length (the streaming-cache role of the reference's
+    quant_and_pack_kcache/vcache, new_pack.py:9-144)."""
+    kq, ks = quantize_token(k_new)
+    vq, vs = quantize_token(v_new)
+    length = cache["length"]
+
+    def upd_codes(buf, val):
+        def one(buf_i, val_i, pos):  # buf_i [Hk,S,D], val_i [Hk,D]
+            return jax.lax.dynamic_update_slice(buf_i, val_i[:, None, :], (0, pos, 0))
+        return jax.vmap(one)(buf, val, length)
+
+    def upd_scale(buf, val):
+        def one(buf_i, val_i, pos):  # buf_i [Hk,S], val_i [Hk]
+            return jax.lax.dynamic_update_slice(buf_i, val_i[:, None], (0, pos))
+        return jax.vmap(one)(buf, val, length)
+
+    return {
+        "k": upd_codes(cache["k"], kq),
+        "v": upd_codes(cache["v"], vq),
+        "k_scale": upd_scale(cache["k_scale"], ks),
+        "v_scale": upd_scale(cache["v_scale"], vs),
+        "length": length + 1,
+    }
