@@ -1,0 +1,198 @@
+"""Functional GQA transformer LM exercising the full inference stack:
+causal INT8 prefill -> quantized KV cache -> split-stream decode kernel.
+
+The reference hosts its LLM decode experiments in inferenceKit + the sglang
+decode kernel (SURVEY §2.6, quant_sglang_triton_attn.py); here the model is
+in-repo and drives ops/decode.py and the quantized cache directly. Weight
+quantization (WQLinear, 4-bit) is available for the MLP/projection weights
+(reference qmodule.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab: int = 256
+    dim: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    num_kv_heads: int = 2
+    max_seq: int = 512
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+def tiny_llm_config(**kw) -> LLMConfig:
+    return LLMConfig(**kw)
+
+
+def init_llm_params(key: jax.Array, cfg: LLMConfig) -> Params:
+    keys = jax.random.split(key, cfg.depth + 2)
+    d, dt = cfg.dim, cfg.dtype
+    hd = cfg.head_dim
+    kv_d = cfg.num_kv_heads * hd
+
+    def dense(k, i, o):
+        return jax.random.normal(k, (i, o), jnp.float32).astype(dt) / math.sqrt(i)
+
+    def block(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "wq": dense(ks[0], d, d),
+            "wk": dense(ks[1], d, kv_d),
+            "wv": dense(ks[2], d, kv_d),
+            "wo": dense(ks[3], d, d),
+            "w1": dense(ks[4], d, 4 * d),
+            "w2": dense(ks[5], 4 * d, d),
+            "ln1": jnp.ones((d,), dt),
+            "ln2": jnp.ones((d,), dt),
+        }
+
+    return {
+        "embed": jax.random.normal(keys[0], (cfg.vocab, d), jnp.float32).astype(dt) * 0.02,
+        "blocks": [block(keys[1 + i]) for i in range(cfg.depth)],
+        "ln_f": jnp.ones((cfg.dim,), dt),
+    }
+
+
+def _rms_norm(x, w, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    n = x32 * jax.lax.rsqrt(jnp.mean(x32**2, axis=-1, keepdims=True) + eps)
+    return (n * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """x: [B, H, S, D]; positions: [B, S]."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    ang = positions.astype(jnp.float32)[:, None, :, None] * freqs  # [B,1,S,D/2]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attn_prefill(q, k, v, attn_impl: str, interpret):
+    if attn_impl == "int8":
+        return lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=True, interpret=interpret)
+    return attention_reference(q, k, v, is_causal=True)
+
+
+def llm_prefill(
+    params: Params,
+    tokens: jax.Array,  # [B, S]
+    cfg: LLMConfig,
+    *,
+    attn_impl: str = "int8",
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, list]:
+    """Run the prompt through the model; returns (logits [B,S,vocab],
+    per-layer quantized KV caches)."""
+    b, s = tokens.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][tokens]
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    caches = []
+    for blk in params["blocks"]:
+        xa = _rms_norm(x, blk["ln1"])
+        q = (xa @ blk["wq"]).reshape(b, s, h, hd).swapaxes(1, 2)
+        k = (xa @ blk["wk"]).reshape(b, s, hk, hd).swapaxes(1, 2)
+        v = (xa @ blk["wv"]).reshape(b, s, hk, hd).swapaxes(1, 2)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
+        o = _attn_prefill(q, k, v, attn_impl, interpret)
+        x = x + (o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype) @ blk["wo"])
+        xm = _rms_norm(x, blk["ln2"])
+        x = x + jax.nn.silu(xm @ blk["w1"]) @ blk["w2"]
+
+        # Build the layer's quantized cache from the prefill K/V.
+        cache = dec.init_kv_cache(b, hk, cfg.max_seq, hd)
+        kq, ks = jax.vmap(dec.quantize_token, in_axes=2, out_axes=2)(k)
+        vq, vs = jax.vmap(dec.quantize_token, in_axes=2, out_axes=2)(v)
+        cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, 0, 0))
+        cache["k_scale"] = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, 0, 0))
+        cache["v_scale"] = jax.lax.dynamic_update_slice(cache["v_scale"], vs, (0, 0, 0))
+        cache["length"] = jnp.full((b,), s, jnp.int32)
+        caches.append(cache)
+
+    logits = _rms_norm(x, params["ln_f"]) @ params["embed"].T
+    return logits, caches
+
+
+def llm_decode_step(
+    params: Params,
+    token: jax.Array,  # [B]
+    caches: list,
+    cfg: LLMConfig,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, list]:
+    """One autoregressive step through the quantized-cache decode kernel."""
+    b = token.shape[0]
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][token][:, None, :]  # [B,1,D]
+    pos = caches[0]["length"][:, None]  # [B,1]
+    new_caches = []
+    for blk, cache in zip(params["blocks"], caches):
+        xa = _rms_norm(x, blk["ln1"])
+        q = (xa @ blk["wq"]).reshape(b, 1, h, hd).swapaxes(1, 2)
+        k = (xa @ blk["wk"]).reshape(b, 1, hk, hd).swapaxes(1, 2)
+        v = (xa @ blk["wv"]).reshape(b, 1, hk, hd).swapaxes(1, 2)
+        q = _rope(q, pos, cfg.rope_theta)[:, :, 0]  # [B,H,D]
+        k = _rope(k, pos, cfg.rope_theta)[:, :, 0]
+        v = v[:, :, 0]
+        cache = dec.append_kv(cache, k, v)
+        o = dec.decode_attention(
+            q,
+            cache["k"],
+            cache["v"],
+            cache["k_scale"],
+            cache["length"],
+            v_scale=cache["v_scale"],
+            interpret=interpret,
+        )  # [B,H,D]
+        x = x + (o.reshape(b, 1, -1).astype(x.dtype) @ blk["wo"])
+        xm = _rms_norm(x, blk["ln2"])
+        x = x + jax.nn.silu(xm @ blk["w1"]) @ blk["w2"]
+        new_caches.append(cache)
+    logits = _rms_norm(x[:, 0], params["ln_f"]) @ params["embed"].T
+    return logits, new_caches
+
+
+def generate(
+    params: Params,
+    prompt: jax.Array,  # [B, S]
+    n_new: int,
+    cfg: LLMConfig,
+    *,
+    attn_impl: str = "int8",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Greedy generation: int8 prefill + quantized-cache decode loop."""
+    logits, caches = llm_prefill(params, prompt, cfg, attn_impl=attn_impl, interpret=interpret)
+    token = jnp.argmax(logits[:, -1], axis=-1)
+    out = [token]
+    for _ in range(n_new - 1):
+        logits, caches = llm_decode_step(params, token, caches, cfg, interpret=interpret)
+        token = jnp.argmax(logits, axis=-1)
+        out.append(token)
+    return jnp.stack(out, axis=1)

@@ -1,0 +1,45 @@
+"""LLM model: quantized prefill+decode must track the exact-path model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lowbit_quant_fa2_paddle_tpu.models import llm
+
+
+def _setup():
+    cfg = llm.tiny_llm_config(max_seq=64)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    return cfg, params, prompt
+
+
+def test_prefill_logits_match_exact():
+    cfg, params, prompt = _setup()
+    lo_q, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="int8")
+    lo_e, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    # top-1 agreement on next-token prediction
+    agree = (jnp.argmax(lo_q[:, -1], -1) == jnp.argmax(lo_e[:, -1], -1)).mean()
+    assert float(agree) == 1.0
+
+
+def test_decode_step_matches_prefill():
+    """Decoding token s+1 via the cache must match prefilling s+1 tokens."""
+    cfg, params, prompt = _setup()
+    logits, caches = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    nxt = jnp.argmax(logits[:, -1], -1)
+    lo_dec, _ = llm.llm_decode_step(params, nxt, caches, cfg)
+    full = jnp.concatenate([prompt, nxt[:, None]], axis=1)
+    lo_full, _ = llm.llm_prefill(params, full, cfg, attn_impl="exact")
+    # logits from the quantized decode path vs exact full prefill
+    cos = jnp.sum(lo_dec * lo_full[:, -1]) / (
+        jnp.linalg.norm(lo_dec) * jnp.linalg.norm(lo_full[:, -1])
+    )
+    assert float(cos) > 0.999
+
+
+def test_generate_runs():
+    cfg, params, prompt = _setup()
+    out = llm.generate(params, prompt, 4, cfg)
+    assert out.shape == (2, 4)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) < cfg.vocab).all()
