@@ -37,6 +37,8 @@ __all__ = [
     "lowbit_fa_qk_int8_pv_fp16",
     "lowbit_fa_qk_int8_pv_int8",
     "lowbit_fa_qk_int4_pv_fp16",
+    "lowbit_fa_qk_int2_pv_fp16",
+    "lowbit_fa_mixed_bits",
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
     "sageattn",
@@ -281,6 +283,87 @@ def lowbit_fa_qk_int4_pv_fp16(
     return _from_hnd(out[..., :d_og], tensor_layout)
 
 
+def lowbit_fa_qk_int2_pv_fp16(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_token",
+    smooth_k: bool = True,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """INT8-Q x INT2-K attention (codes in {-1,0,1}, four per byte —
+    quarter the K HBM traffic). The reference benchmarks an INT2 variant
+    (utils/benchmark.py:407-511); accuracy is materially lower than INT4 —
+    intended for the aggressive end of the per-token bit-allocation sweep."""
+    q = _to_hnd(q, tensor_layout)
+    k = _to_hnd(k, tensor_layout)
+    v = _to_hnd(v, tensor_layout)
+    d_og = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_og)
+    qp, kp = _pad_head_dim(q), _pad_head_dim(k)
+    km = quant_ops.k_mean(kp) if smooth_k else None
+    gq, bq = _gran_block(qk_quant_gran, "q")
+    gk, bk = _gran_block(qk_quant_gran, "k")
+    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+    k_packed, k_scale = quant_ops.quant_int2(kp, km, gran=gk, block=bk, interpret=interpret)
+    out = lowbit_attention(
+        q_codes, k_packed, v, q_scale, k_scale,
+        is_causal=is_causal, sm_scale=sm_scale, k_pack_bits=2,
+        out_dtype=v.dtype, return_lse=return_lse, interpret=interpret,
+    )
+    if return_lse:
+        o, lse2 = out
+        lse = _finish_lse(lse2, qp, km, sm_scale)
+        return _from_hnd(o[..., :d_og], tensor_layout), lse
+    return _from_hnd(out[..., :d_og], tensor_layout)
+
+
+def quantize_with_bitmap(
+    k: jax.Array, bitmap: jax.Array, *, block: int = 128
+) -> jax.Array:
+    """Per-token-block mixed-precision quantization error injection
+    (reference ``quantize_with_bitmap``, utils/benchmark.py:689-720): token
+    blocks flagged 1 in ``bitmap`` keep int8 fidelity; blocks flagged 0 are
+    rounded through int4 first. Output is a float tensor carrying the mixed
+    quantization error, consumed by the standard int8 pipeline — matching
+    the reference's bitmap bench semantics."""
+    b, h, s, d = k.shape
+    nblk = -(-s // block)
+    pad = nblk * block - s
+    kf = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = kf.reshape(b, h, nblk, block, d)
+    amax = jnp.max(jnp.abs(kb), axis=(3, 4), keepdims=True)
+    scale4 = amax / 7.0 + 1e-7
+    k4 = jnp.clip(jnp.round(kb / scale4), -7, 7) * scale4
+    keep8 = bitmap.reshape(1, 1, nblk, 1, 1).astype(bool)
+    mixed = jnp.where(keep8, kb, k4).reshape(b, h, nblk * block, d)[:, :, :s]
+    return mixed.astype(k.dtype)
+
+
+def lowbit_fa_mixed_bits(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bitmap: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    block: int = 128,
+    **kw,
+):
+    """Per-token-block dynamic bit allocation: int8 kernel over K whose
+    blocks were mixed int8/int4 per importance ``bitmap`` (the reference's
+    mixed-precision bitmap bench + ``mp_`` kernel placeholder)."""
+    kh = _to_hnd(k, tensor_layout)
+    k_mixed = _from_hnd(quantize_with_bitmap(kh, bitmap, block=block), tensor_layout)
+    return lowbit_fa_qk_int8_pv_fp16(q, k_mixed, v, tensor_layout=tensor_layout, **kw)
+
+
 def lowbit_fa_varlen(
     q: jax.Array,
     k: jax.Array,
@@ -434,6 +517,10 @@ def lowbit_fa_attn(
         )
     if bits == "int4":
         return lowbit_fa_qk_int4_pv_fp16(
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+        )
+    if bits == "int2":
+        return lowbit_fa_qk_int2_pv_fp16(
             q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
         )
     if bits == "fp":

@@ -74,6 +74,16 @@ def _unpack_int4_halves(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
+def _unpack_int2_quarters(packed: jax.Array) -> jax.Array:
+    """2-bit codes, four per byte in quarters-of-D order -> int8."""
+    p32 = packed.astype(jnp.int32)
+    parts = [
+        jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * i), 30)
+        for i in range(4)
+    ]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+
+
 def _attn_kernel(
     # refs (built dynamically — see _build_refs ordering)
     *refs,
@@ -83,11 +93,13 @@ def _attn_kernel(
     block_kv: int,
     causal: bool,
     quantized_qk: bool,
-    k_packed_int4: bool,
+    k_pack_bits: int,
     v_quantized: bool,
     pv_int8: bool,
     smooth_v: bool,
     has_segments: bool,
+    has_bias: bool,
+    logit_cap: float,
     sm_scale_log2e: float,
     pv_dtype,
 ):
@@ -109,6 +121,9 @@ def _attn_kernel(
     if has_segments:
         qseg_ref = next(it)
         kseg_ref = next(it)
+    bias_ref = None
+    if has_bias:
+        bias_ref = next(it)
     o_ref = next(it)
     lse_ref = next(it)
     m_scr = next(it)
@@ -134,9 +149,11 @@ def _attn_kernel(
     @pl.when(should_run)
     def _compute():
         q = q_ref[0, 0]  # [BQ, D] int8 | float
-        k = k_ref[0, 0]  # [BK, D] int8 | [BK, D/2] packed | float
-        if k_packed_int4:
+        k = k_ref[0, 0]  # [BK, D] int8 | [BK, D/pack] packed | float
+        if k_pack_bits == 4:
             k = _unpack_int4_halves(k)
+        elif k_pack_bits == 2:
+            k = _unpack_int2_quarters(k)
 
         if quantized_qk:
             s = jax.lax.dot_general(
@@ -150,6 +167,14 @@ def _attn_kernel(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             s = s * sm_scale_log2e
+
+        if has_bias:
+            # bias pre-scaled by log2(e) in the launcher (kernel is base-2).
+            s = s + bias_ref[0, 0]
+        if logit_cap > 0.0:
+            # tanh capping in natural space (reference quant_sglang logit_cap)
+            c2 = logit_cap * LOG2E
+            s = c2 * jnp.tanh(s / c2)
 
         mask = None
         if causal:
@@ -230,9 +255,12 @@ def lowbit_attention(
     v_mean: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
+    k_pack_bits: int = 8,
+    logit_cap: float = 0.0,
     pv_int8: bool = True,
     pv_dtype=jnp.bfloat16,
     block_q: int = 1024,
@@ -261,8 +289,10 @@ def lowbit_attention(
     _, h_kv, s_k, _ = k.shape
     d = v.shape[-1]
     quantized_qk = q_scale is not None
+    if k_packed_int4:
+        k_pack_bits = 4
     if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(d if not k_packed_int4 else d)
+        sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = default_interpret()
     if out_dtype is None:
@@ -272,6 +302,7 @@ def lowbit_attention(
     v_quantized = v.dtype == jnp.int8
     smooth_v = v_mean is not None
     has_segments = q_segment_ids is not None
+    has_bias = bias is not None
 
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
@@ -339,6 +370,22 @@ def lowbit_attention(
             q_segment_ids.astype(jnp.int32)[:, :, None],
             kv_segment_ids.astype(jnp.int32)[:, None, :],
         ]
+    if has_bias:
+        # Additive attention bias in natural-log units; vector [B,H,1,Sk]
+        # (e.g. ALiBi-style per-key) or full matrix [B,H,Sq,Sk] (reference
+        # attn_4bit_per_block.py bias support). Pre-scale to base-2.
+        bias = (bias.astype(jnp.float32) * LOG2E)
+        if bias.shape[2] == 1:
+            bias = pad_seq(bias, sk_pad, axis=3)
+            in_specs.append(
+                pl.BlockSpec((1, 1, 1, block_kv), lambda bi, hi, qi, ki: (bi, hi, 0, ki), memory_space=pltpu.VMEM)
+            )
+        else:
+            bias = pad_seq(pad_seq(bias, sk_pad, axis=3), sq_pad, axis=2)
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_q, block_kv), lambda bi, hi, qi, ki: (bi, hi, qi, ki), memory_space=pltpu.VMEM)
+            )
+        args.append(bias)
 
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
@@ -357,11 +404,13 @@ def lowbit_attention(
         block_kv=block_kv,
         causal=is_causal,
         quantized_qk=quantized_qk,
-        k_packed_int4=k_packed_int4,
+        k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         pv_int8=pv_int8,
         smooth_v=smooth_v,
         has_segments=has_segments,
+        has_bias=has_bias,
+        logit_cap=float(logit_cap),
         sm_scale_log2e=float(sm_scale) * LOG2E,
         pv_dtype=pv_dtype,
     )

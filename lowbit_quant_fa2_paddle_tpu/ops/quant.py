@@ -269,6 +269,93 @@ def quant_int4(
     return packed[:, :, :s], scale[:, :, :s, 0]
 
 
+def _quant_int2_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool):
+    x = x_ref[0, 0].astype(jnp.float32)  # [BLK, D]
+    if km_ref is not None:
+        x = x - km_ref[0, 0].astype(jnp.float32)
+    # Lloyd-Max 3-level quantizer for ~gaussian data: representation points
+    # at ±1.224*sigma (abs-max scaling would zero ~87% of N(0,1) values).
+    if per_token:
+        sig = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+    else:
+        sig = jnp.full((x.shape[0], 1), jnp.sqrt(jnp.mean(x * x)), jnp.float32)
+    scale = 1.224 * sig + EPS
+    codes = jnp.clip(round_away(x / scale), -INT2_QMAX, INT2_QMAX).astype(jnp.int32)
+    d = x.shape[-1]
+    q = d // 4  # quarters-of-D packing, 4 codes per byte
+    b0 = codes[:, :q] & 0x3
+    b1 = codes[:, q : 2 * q] & 0x3
+    b2 = codes[:, 2 * q : 3 * q] & 0x3
+    b3 = codes[:, 3 * q :] & 0x3
+    packed_ref[0, 0] = (b0 | (b1 << 2) | (b2 << 4) | (b3 << 6)).astype(jnp.int8)
+    scale_ref[0, 0] = scale
+
+
+def _quant_int2_kernel_nokm(x_ref, packed_ref, scale_ref, *, per_token: bool):
+    _quant_int2_kernel(x_ref, None, packed_ref, scale_ref, per_token=per_token)
+
+
+def quant_int2(
+    x: jax.Array,
+    km: Optional[jax.Array] = None,
+    *,
+    gran: str = "per_block",
+    block: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric INT2 quantization (codes in {-1, 0, 1}) packed four codes
+    per byte in quarters-of-D order (extends the INT4 halves scheme; the
+    reference benchmarks an int2 variant, utils/benchmark.py:407-511).
+
+    Returns ``(packed int8 [B,H,S,D//4], scale f32 [B,H,S])``.
+    """
+    per_token = gran == "per_token"
+    b, h, s, d = x.shape
+    assert d % 4 == 0
+    if interpret is None:
+        interpret = default_interpret()
+    s_pad = cdiv(s, block) * block
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+    grid = (b, h, s_pad // block)
+    in_specs = [pl.BlockSpec((1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM)]
+    args = [x]
+    if km is not None:
+        in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, si: (bi, hi, 0, 0), memory_space=pltpu.VMEM))
+        args.append(km)
+        kernel = functools.partial(_quant_int2_kernel, per_token=per_token)
+    else:
+        kernel = functools.partial(_quant_int2_kernel_nokm, per_token=per_token)
+    packed, scale = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block, d // 4), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, 1), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d // 4), jnp.int8),
+            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return packed[:, :, :s], scale[:, :, :s, 0]
+
+
+def unpack_int2(packed: jax.Array) -> jax.Array:
+    """Unpack 2-bit quarters-of-D codes back to int8 (host/test helper)."""
+    p32 = packed.astype(jnp.int32)
+    parts = [
+        jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * i), 30)
+        for i in range(4)
+    ]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+
+
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """Unpack nibble-packed int4 codes back to int8 (host/test helper; the
     attention kernels unpack in-kernel)."""
