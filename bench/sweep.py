@@ -1,0 +1,127 @@
+"""Full kernel benchmark sweep — the reference's bench/ suite in one tool.
+
+Mirrors utils/benchmark.py's shape: seq sweep, warmup+reps, TFLOP/s =
+4*B*H*D*S^2(/2 causal)/t, accuracy vs an on-chip reference, JSON + table
+output (reference bench/quant/bench_qk_int8_pv_fp16_triton.py etc.).
+
+Usage:
+  python bench/sweep.py --seq_lens 1024 4096 --bits int8 int4 --causal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.ops import quant as q_ops
+from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp, lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.fused_kv import (
+    fused_packed_kv_attention,
+    quant_kv_grouped,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity, mse
+from lowbit_quant_fa2_paddle_tpu.utils.benchmark import (
+    attention_flops,
+    measure_op_time,
+    tflops,
+)
+
+
+def build_variant(bits, q, k, v, vq_int8, causal):
+    """Returns (fn, args) for one benchmark variant. Quantization happens
+    outside the timed region (reference times the attention kernel only,
+    utils/benchmark.py:236-266)."""
+    if bits == "fp":
+        return (lambda a, b, c: flash_attention_fp(a, b, c, is_causal=causal), (q, k, v))
+    if bits in ("int8", "int8_v8"):
+        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        kc, ks = q_ops.quant_int8(k, gran="per_token")
+        if bits == "int8_v8":
+            vc, vsc, _ = q_ops.quant_v_int8_per_channel(v)
+            return (
+                lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, v_scale=vsc, is_causal=causal),
+                (qc, kc, vc, qs, ks),
+            )
+        return (
+            lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, is_causal=causal),
+            (qc, kc, v, qs, ks),
+        )
+    if bits == "int4":
+        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        k4, ks = q_ops.quant_int4(k, gran="per_token")
+        return (
+            lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, k_pack_bits=4, is_causal=causal),
+            (qc, k4, v, qs, ks),
+        )
+    if bits == "int2":
+        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        k2, ks = q_ops.quant_int2(k, gran="per_token")
+        return (
+            lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, k_pack_bits=2, is_causal=causal),
+            (qc, k2, v, qs, ks),
+        )
+    if bits == "kivi4":
+        kp, ks, km = quant_kv_grouped(k, bits=4, group=256)
+        vp, vs, vm = quant_kv_grouped(v, bits=4, group=256)
+        return (
+            lambda *a: fused_packed_kv_attention(*a, bits=4, is_causal=causal),
+            (q, kp, vp, ks, km, vs, vm),
+        )
+    raise ValueError(bits)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_heads", type=int, default=32)
+    p.add_argument("--head_dim", type=int, default=64)
+    p.add_argument("--seq_lens", type=int, nargs="+", default=[1024, 2048, 4096, 8192])
+    p.add_argument("--bits", nargs="+", default=["fp", "int8", "int8_v8", "int4"],
+                   choices=["fp", "int8", "int8_v8", "int4", "int2", "kivi4"])
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--output", default=None)
+    args = p.parse_args()
+
+    results = []
+    for s in args.seq_lens:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        shape = (args.batch_size, args.num_heads, s, args.head_dim)
+        q = jax.random.normal(ks[0], shape, jnp.bfloat16)
+        k = jax.random.normal(ks[1], shape, jnp.bfloat16)
+        v = jax.random.normal(ks[2], shape, jnp.bfloat16)
+        flops = attention_flops(args.batch_size, args.num_heads, args.head_dim, s, s, args.causal)
+        o_ref = None
+        for bits in args.bits:
+            fn, fargs = build_variant(bits, q, k, v, False, args.causal)
+            o = jax.jit(fn)(*fargs)
+            o = o[0] if isinstance(o, tuple) else o
+            if bits == "fp":
+                o_ref = o
+            t = measure_op_time(fn, fargs)
+            row = {
+                "bits": bits,
+                "seq": s,
+                "causal": args.causal,
+                "tflops": round(tflops(flops, t), 2),
+                "ms": round(t * 1e3, 3),
+            }
+            if o_ref is not None and bits != "fp":
+                row["cos_vs_fp"] = round(float(cosine_similarity(o, o_ref)), 6)
+                row["mse_vs_fp"] = float(mse(o, o_ref))
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""End-to-end DiT generation regression — the reference's bench/video_test
+(sageattn_cogvideo_{int8,int4,multi,baseline}.py + attn_utils.get_video_loss):
+generate latent "video" frames with each quantized attention mode and report
+wall time + frame-tensor MSE vs the exact-attention baseline.
+
+Usage:
+  python bench/video_test.py [--steps 10] [--impl int8 int4] [--full-size]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.models import dit
+from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity, mse
+
+
+def generate_latents(params, cfg, impl: str, steps: int, seq: int, key):
+    """Toy deterministic DDIM-ish denoise loop: enough to propagate
+    attention error through `steps` iterations like the reference's 50-step
+    CogVideoX run does."""
+    x = jax.random.normal(key, (1, seq, cfg.dim), cfg.dtype)
+
+    @jax.jit
+    def step_fn(x, t):
+        eps = dit.dit_forward(params, x, t, cfg, attn_impl=impl)
+        return x - 0.1 * eps
+
+    for i in range(steps):
+        t = jnp.array([1000.0 * (1.0 - i / steps)])
+        x = step_fn(x, t)
+    return jax.block_until_ready(x)
+
+
+def frame_loss(a, b):
+    """Frame-tensor MSE (reference bench/video_test/attn_utils.py:6-26)."""
+    return float(mse(a, b))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--impl", nargs="+", default=["fp", "int8", "int8_v8", "int4"])
+    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--full-size", action="store_true",
+                   help="CogVideoX-2b geometry (30 heads x hd64, 17k tokens)")
+    p.add_argument("--output", default=None)
+    args = p.parse_args()
+
+    if args.full_size:
+        cfg = dit.cogvideox_2b_config(depth=4)  # 4 blocks: attention-dominated
+        seq = 17776  # 49x480x720 video latent tokens (SURVEY §7.6)
+    else:
+        cfg = dit.tiny_config(num_heads=8, dim=512, depth=2)
+        seq = args.seq
+
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    baseline = generate_latents(params, cfg, "exact", args.steps, seq, key)
+    t_base = time.perf_counter() - t0
+    results = [{"impl": "exact", "seconds": round(t_base, 3), "frame_mse": 0.0}]
+    print(json.dumps(results[0]), flush=True)
+
+    for impl in args.impl:
+        t0 = time.perf_counter()
+        out = generate_latents(params, cfg, impl, args.steps, seq, key)
+        t = time.perf_counter() - t0
+        row = {
+            "impl": impl,
+            "seconds": round(t, 3),
+            "frame_mse": frame_loss(out, baseline),
+            "cos": round(float(cosine_similarity(out, baseline)), 6),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

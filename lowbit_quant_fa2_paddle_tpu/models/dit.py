@@ -75,24 +75,39 @@ def _dense_init(key, d_in, d_out, dtype, scale=None):
     return {"w": w.astype(dtype), "b": jnp.zeros((d_out,), dtype)}
 
 
-def init_dit_params(key: jax.Array, cfg: DiTConfig) -> Params:
+def init_dit_params(key: jax.Array, cfg: DiTConfig, *, zero_ada: bool = False) -> Params:
+    """``zero_ada=True`` gives adaLN-zero gates (blocks start as identity —
+    the training-stability init); the default activates the gates so a
+    freshly initialized model actually exercises attention (required for
+    inference/regression testing — identity blocks would make every
+    attention implementation trivially "exact")."""
     keys = jax.random.split(key, cfg.depth + 3)
     d, dt = cfg.dim, cfg.dtype
     mlp_d = int(cfg.mlp_ratio * d)
 
     def block(k):
         ks = jax.random.split(k, 6)
+        if zero_ada:
+            ada = {
+                "w": jnp.zeros((cfg.time_embed_dim, 6 * d), dt),
+                "b": jnp.zeros((6 * d,), dt),
+            }
+        else:
+            gate_bias = jnp.concatenate(
+                [jnp.zeros((2 * d,)), jnp.ones((d,)),
+                 jnp.zeros((2 * d,)), jnp.ones((d,))]
+            ).astype(dt)  # sh_a, sc_a, g_a=1, sh_m, sc_m, g_m=1
+            ada = {
+                "w": (jax.random.normal(ks[5], (cfg.time_embed_dim, 6 * d), jnp.float32) * 0.02).astype(dt),
+                "b": gate_bias,
+            }
         return {
             "qkv": _dense_init(ks[0], d, 3 * d, dt),
             "proj": _dense_init(ks[1], d, d, dt),
             "mlp_in": _dense_init(ks[2], d, mlp_d, dt),
             "mlp_out": _dense_init(ks[3], mlp_d, d, dt),
-            # adaLN modulation: 6 x dim (shift/scale/gate for attn + mlp),
-            # zero-init so each block starts as identity (adaLN-zero).
-            "ada": {
-                "w": jnp.zeros((cfg.time_embed_dim, 6 * d), dt),
-                "b": jnp.zeros((6 * d,), dt),
-            },
+            # adaLN modulation: 6 x dim (shift/scale/gate for attn + mlp).
+            "ada": ada,
         }
 
     return {
