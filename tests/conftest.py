@@ -22,3 +22,20 @@ import jax  # noqa: E402
 if os.environ.get("LOWBIT_FA_TEST_TPU") != "1":
     # Force CPU even when the TPU plugin was registered by sitecustomize.
     jax.config.update("jax_platforms", "cpu")
+
+# Build the native host extension on first run (csrc/lowbit_host.cpp); the
+# numpy fallback keeps everything working if the toolchain is missing.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not any(
+    f.startswith("_lowbit_host") and f.endswith(".so")
+    for f in os.listdir(os.path.join(_repo, "lowbit_quant_fa2_paddle_tpu", "host"))
+):
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=_repo,
+        capture_output=True,
+        timeout=300,
+        check=False,
+    )
