@@ -84,14 +84,39 @@ def _unpack_int2_quarters(packed: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=-1).astype(jnp.int8)
 
 
-def _attn_kernel(
-    # refs (built dynamically — see _build_refs ordering)
-    *refs,
+def _attn_kernel_rect(*refs, **params):
+    """Rectangular grid (b, h, nq, nk): the non-causal schedule."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+    _attn_body(i, j, j == 0, j == nk - 1, refs, **params)
+
+
+def _attn_kernel_tri(i_tbl, j_tbl, last_tbl, *refs, **params):
+    """Triangular grid for causal: grid dim 2 walks scalar-prefetched
+    (i, j) tables covering ONLY at-or-below-diagonal blocks, so causal runs
+    ~half the DMA and grid steps of the rectangular schedule (true block
+    skipping — the reference's STAGE-1/2 split merely early-outs compute,
+    attn_qk_int8_per_block_causal.py:45-79)."""
+    t = pl.program_id(2)
+    i = i_tbl[t]
+    j = j_tbl[t]
+    _attn_body(i, j, j == 0, last_tbl[t] == 1, refs, **params)
+
+
+def _attn_body(
+    i,
+    j,
+    is_first,
+    is_last,
+    refs,
+    *,
     q_len: int,
     kv_len: int,
     block_q: int,
     block_kv: int,
     causal: bool,
+    tri: bool = False,
     quantized_qk: bool,
     k_pack_bits: int,
     v_quantized: bool,
@@ -130,18 +155,14 @@ def _attn_kernel(
     l_scr = next(it)
     acc_scr = next(it)
 
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(j == 0)
+    @pl.when(is_first)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Skip blocks entirely above the diagonal (reference STAGE-1/2 split).
+    if causal and not tri:
+        # Rect fallback: skip blocks above the diagonal via predication.
         should_run = j * block_kv <= i * block_q + block_q - 1
     else:
         should_run = True
@@ -225,7 +246,7 @@ def _attn_kernel(
             )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(j == nk - 1)
+    @pl.when(is_last)
     def _finalize():
         l = l_scr[...][:, :1]  # [BQ, 1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -337,34 +358,59 @@ def lowbit_attention(
                 kv_segment_ids, ((0, 0), (0, sk_pad - kv_segment_ids.shape[1])), constant_values=-2
             )
 
-    grid = (b, h, sq_pad // block_q, sk_pad // block_kv)
+    nq, nk_blocks = sq_pad // block_q, sk_pad // block_kv
+    # Triangular (true block-skip) schedule for causal; rectangular otherwise.
+    tri = bool(is_causal) and nq > 1
+    if tri:
+        import numpy as np
+
+        i_list, j_list, last_list = [], [], []
+        for qi in range(nq):
+            j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
+            for ki in range(j_max):
+                i_list.append(qi)
+                j_list.append(ki)
+                last_list.append(1 if ki == j_max - 1 else 0)
+        i_tbl = jnp.asarray(np.array(i_list, np.int32))
+        j_tbl = jnp.asarray(np.array(j_list, np.int32))
+        last_tbl = jnp.asarray(np.array(last_list, np.int32))
+        n_steps = len(i_list)
+        grid = (b, h, n_steps)
+
+        def IM(f):
+            return lambda bi, hi, ti, itb, jtb, ltb: f(bi, hi, itb[ti], jtb[ti])
+    else:
+        grid = (b, h, nq, nk_blocks)
+
+        def IM(f):
+            return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
 
     d_k = k.shape[-1]  # packed width when int4
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d_q), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d_k), lambda bi, hi, qi, ki: (bi, hi // group, ki, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, qi, ki: (bi, hi // group, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, d_q), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d_k), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if quantized_qk:
         # q_scale as a column [B,H,Sq,1]; k_scale as a row [B,Hk,1,Sk].
         in_specs += [
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_kv), lambda bi, hi, qi, ki: (bi, hi // group, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM),
         ]
         args += [q_scale[..., None], k_scale[:, :, None, :]]
     if v_quantized:
         assert v_scale is not None
-        in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, qi, ki: (bi, hi // group, 0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1, 1, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
         args.append(v_scale.astype(jnp.float32)[:, :, None, :])
         if smooth_v:
-            in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, qi, ki: (bi, hi // group, 0, 0), memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec((1, 1, 1, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
             args.append(v_mean.astype(jnp.float32)[:, :, None, :])
     if has_segments:
         # q segments as a column [B,Sq,1]; kv segments as a row [B,1,Sk].
         in_specs += [
-            pl.BlockSpec((1, block_q, 1), lambda bi, hi, qi, ki: (bi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_kv), lambda bi, hi, qi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, qi, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), IM(lambda bi, hi, qi, ki: (bi, 0, ki)), memory_space=pltpu.VMEM),
         ]
         args += [
             q_segment_ids.astype(jnp.int32)[:, :, None],
@@ -378,31 +424,31 @@ def lowbit_attention(
         if bias.shape[2] == 1:
             bias = pad_seq(bias, sk_pad, axis=3)
             in_specs.append(
-                pl.BlockSpec((1, 1, 1, block_kv), lambda bi, hi, qi, ki: (bi, hi, 0, ki), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, 1, 1, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi, 0, ki)), memory_space=pltpu.VMEM)
             )
         else:
             bias = pad_seq(pad_seq(bias, sk_pad, axis=3), sq_pad, axis=2)
             in_specs.append(
-                pl.BlockSpec((1, 1, block_q, block_kv), lambda bi, hi, qi, ki: (bi, hi, qi, ki), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, 1, block_q, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi, qi, ki)), memory_space=pltpu.VMEM)
             )
         args.append(bias)
 
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, d), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype),
         jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
     ]
 
-    kernel = functools.partial(
-        _attn_kernel,
+    params = dict(
         q_len=s_q,
         kv_len=s_k,
         block_q=block_q,
         block_kv=block_kv,
         causal=is_causal,
+        tri=tri,
         quantized_qk=quantized_qk,
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
@@ -418,27 +464,48 @@ def lowbit_attention(
     # Causal halves the average work per kv row; reflect it in the cost
     # estimate so XLA schedules neighbours sensibly.
     flops = 4 * b * h * sq_pad * sk_pad * d * (0.5 if is_causal else 1.0)
-    o, lse2 = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
-            pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(flops),
-            bytes_accessed=int(q.size * q.dtype.itemsize + k.size + v.size * v.dtype.itemsize),
-            transcendentals=int(b * h * sq_pad * sk_pad),
-        ),
-        interpret=interpret,
-    )(*args)
+    cost = pl.CostEstimate(
+        flops=int(flops),
+        bytes_accessed=int(q.size * q.dtype.itemsize + k.size + v.size * v.dtype.itemsize),
+        transcendentals=int(b * h * sq_pad * sk_pad),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
+        pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if tri:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        o, lse2 = pl.pallas_call(
+            functools.partial(_attn_kernel_tri, **params),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(i_tbl, j_tbl, last_tbl, *args)
+    else:
+        o, lse2 = pl.pallas_call(
+            functools.partial(_attn_kernel_rect, **params),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
 
     o = o[:, :, :s_q]
     if return_lse:
