@@ -73,3 +73,25 @@ def run_training_step_dryrun(n_devices: int) -> None:
         new_params, loss = step(params, batch, jax.random.PRNGKey(2))
     jax.block_until_ready(new_params)
     assert jnp.isfinite(loss), loss
+
+    if n_devices >= 2:
+        _pipeline_dryrun(min(2, n_devices))
+
+
+def _pipeline_dryrun(pp: int) -> None:
+    """One pipelined (pp-axis) DiT forward on tiny shapes."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lowbit_quant_fa2_paddle_tpu.models.dit import dit_forward, init_dit_params
+    from lowbit_quant_fa2_paddle_tpu.parallel.pipeline import make_pipelined_dit
+
+    cfg = tiny_config(depth=2 * pp)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    mb = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (2 * mb, 64, cfg.dim), cfg.dtype)
+    t = jnp.full((2 * mb,), 10.0)
+    fn = jax.jit(make_pipelined_dit(mesh, cfg, microbatches=mb))
+    out = jax.block_until_ready(fn(params, x, t))
+    assert jnp.isfinite(out.astype(jnp.float32)).all()

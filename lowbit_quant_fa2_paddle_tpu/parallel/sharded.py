@@ -44,6 +44,33 @@ def make_head_parallel_attention(
     )
 
 
+def fsdp_shardings(params, mesh: Mesh, *, axis: str = "data"):
+    """Fully-sharded (ZeRO-3-style) parameter layout: each tensor's largest
+    axis-divisible dimension is sharded over ``axis``; XLA all-gathers
+    on use. The reference only ships an accelerate FSDP config
+    (fsdp_runtime.yaml); here the layout is first-class. Weights that don't
+    divide stay replicated."""
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    n = mesh.shape[axis]
+
+    def spec_for(leaf):
+        if leaf.ndim == 0:
+            return P()
+        dims = sorted(range(leaf.ndim), key=lambda i: -leaf.shape[i])
+        for d in dims:
+            if leaf.shape[d] % n == 0 and leaf.shape[d] >= n:
+                spec = [None] * leaf.ndim
+                spec[d] = axis
+                return P(*spec)
+        return P()
+
+    return _jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, spec_for(leaf)), params
+    )
+
+
 def make_parallel_attention(
     mesh: Mesh,
     *,
