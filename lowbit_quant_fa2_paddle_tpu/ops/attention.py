@@ -219,8 +219,16 @@ def _attn_body(
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
         alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
-        p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
-        l_curr = jnp.sum(p, axis=-1, keepdims=True)
+        # When PV consumes bf16 anyway, run exp2 (and the [BQ,BK] tail of
+        # the softmax) in bf16: the exp2 argument is <= 0, so the absolute
+        # bf16 rounding bounds the relative error of p at ~ln2*2^-9 — cos
+        # impact ~1e-6, VPU passes on the [BQ,BK] tile halve (+~5% kernel).
+        bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
+        if bf16_softmax:
+            p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
+        l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -233,7 +241,7 @@ def _attn_body(
             # This is the TPU analog of the reference's FP8 P conversion
             # with exponent offset (csrc/qattn/qk_int_sv_f8_cuda.cu,
             # S_FP8_OFFSET): same role, integer arithmetic instead.
-            p8 = (p * 127.0 + 0.5).astype(jnp.int8)  # p >= 0: round down +.5
+            p8 = (p.astype(jnp.float32) * 127.0 + 0.5).astype(jnp.int8)
             pv = jax.lax.dot_general(
                 p8, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
             ).astype(jnp.float32) * (1.0 / 127.0)
