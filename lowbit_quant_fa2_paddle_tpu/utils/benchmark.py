@@ -53,19 +53,30 @@ def measure_op_time(
     *,
     r1: int = 8,
     r2: int = 24,
+    samples: int = 3,
     feedback=None,  # retained for call-site compatibility; unused
 ) -> float:
-    """Mean seconds per call of ``fn(*args)`` (first output fetched)."""
+    """Mean seconds per call of ``fn(*args)`` (first output fetched).
+
+    Each rep count is sampled ``samples`` times and the MINIMUM is used —
+    the remote transport occasionally injects hundreds of ms of one-sided
+    latency, which would otherwise corrupt the slope fit."""
     times = {}
     for r in (r1, r2):
         f = _chained(fn, r)
         np.asarray(f(tuple(args)))  # compile + warmup
-        t0 = time.perf_counter()
-        np.asarray(f(tuple(args)))
-        times[r] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            np.asarray(f(tuple(args)))
+            best = min(best, time.perf_counter() - t0)
+        times[r] = best
     dt = (times[r2] - times[r1]) / (r2 - r1)
-    if dt <= 0:  # noisy environment — fall back to the larger measurement
-        dt = times[r2] / r2
+    # Guard the fit: per-rep time can't exceed the r2 mean nor plausibly sit
+    # below 20% of it (both indicate a corrupted sample).
+    mean2 = times[r2] / r2
+    if not (0.2 * mean2 <= dt <= 1.5 * mean2):
+        dt = mean2
     return dt
 
 
