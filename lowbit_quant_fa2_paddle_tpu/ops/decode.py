@@ -130,10 +130,15 @@ def decode_attention(
     page_table: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     logit_cap: float = 0.0,
-    block_kv: int = 256,
+    block_kv: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Single-token decode attention over an int8 KV cache (GQA/MQA).
+
+    ``block_kv`` is the KV streaming block (and the page size when paged).
+    Measured on v5e at a 128K int8 cache: 256->71 GB/s, 1024->210,
+    2048->280, 8192->380 GB/s — use large blocks for long contiguous
+    caches; paged deployments match it to their page size.
 
     Args:
       q: ``[B, H, D]`` float — current-token queries.
