@@ -337,7 +337,9 @@ def lowbit_attention(
         interpret = default_interpret()
     if out_dtype is None:
         out_dtype = jnp.bfloat16 if quantized_qk or v.dtype == jnp.int8 else v.dtype
-    assert h % h_kv == 0
+    assert h % h_kv == 0, (
+        f"GQA requires num_q_heads ({h}) divisible by num_kv_heads ({h_kv})"
+    )
     group = h // h_kv
     v_quantized = v.dtype == jnp.int8
     smooth_v = v_mean is not None

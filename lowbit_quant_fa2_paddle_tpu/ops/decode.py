@@ -200,7 +200,7 @@ def decode_attention(
         sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = default_interpret()
-    assert h % hk == 0
+    assert h % hk == 0, f"GQA requires num_q_heads ({h}) divisible by num_kv_heads ({hk})"
     g = h // hk
     g_pad = max(8, cdiv(g, 8) * 8)
     qg = q.astype(jnp.float32).reshape(b, hk, g, d)

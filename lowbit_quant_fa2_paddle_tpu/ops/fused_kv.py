@@ -214,7 +214,7 @@ def fused_packed_kv_attention(
         sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = default_interpret()
-    assert h % h_kv == 0
+    assert h % h_kv == 0, f"GQA requires num_q_heads ({h}) divisible by num_kv_heads ({h_kv})"
     g = h // h_kv
     block_kv = group
     n_groups = k_scale.shape[2]
