@@ -148,6 +148,14 @@ def _attention(q, k, v, impl: str, interpret: Optional[bool]):
     """q/k/v: [B, H, S, D] (HND)."""
     if impl == "exact":
         return attention_reference(q, k, v)
+    if impl == "flash_train":
+        # differentiable Pallas flash attention (custom_vjp) — the memory-
+        # efficient training path (no [S,S] logits materialization).
+        from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import (
+            flash_attention_trainable,
+        )
+
+        return flash_attention_trainable(q, k, v).astype(q.dtype)
     if impl == "fp":
         return flash_attention_fp(q, k, v, interpret=interpret).astype(q.dtype)
     if impl == "int8":

@@ -1,0 +1,235 @@
+"""FlashAttention-2 backward pass (Pallas) + differentiable wrapper.
+
+The reference is an inference-only operator library with no backward
+anywhere (SURVEY §4/§5) — this EXCEEDS parity so the framework's training
+path (models/dit.sgd_train_step) can run flash attention end-to-end instead
+of falling back to materialized-logits attention.
+
+Standard FA-2 backward (boom guide §7 / jax.experimental flash_attention):
+residuals are (o, lse); ``di = rowsum(dO * O)``; then
+
+  p  = exp2(s2 - lse2)          (s2 = base-2 scaled logits)
+  dv = p^T @ dO
+  dp = dO @ V^T
+  ds = p * (dp - di) * sm_scale (natural-gradient; base-2 factors cancel)
+  dq = ds @ K ;  dk = ds^T @ Q
+
+Two kernels with transposed iteration orders: dQ accumulates over KV blocks
+per Q block; dKV accumulates over Q blocks per KV block.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    LOG2E,
+    MASK_VALUE,
+    lowbit_attention,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc,
+                   *, block_q, block_kv, causal, scale2):
+    i, j = pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    run = True if not causal else j * block_kv <= i * block_q + block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]  # [BK, D]
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale2
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0) + i * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
+            s2 = jnp.where(col <= row, s2, MASK_VALUE)
+        p = jnp.exp2(s2 - lse_ref[0, 0])  # [BQ, BK]; lse col [BQ,1]
+        dov = jax.lax.dot_general(
+            do_ref[0, 0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ds = p * (dov - di_ref[0, 0]) * (scale2 / LOG2E)
+        acc[...] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0, 0] = acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, block_q, block_kv, causal, scale2):
+    j, i = pl.program_id(2), pl.program_id(3)  # kv outer, q inner
+    nq = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    run = True if not causal else j * block_kv <= i * block_q + block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale2
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0) + i * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
+            s2 = jnp.where(col <= row, s2, MASK_VALUE)
+        p = jnp.exp2(s2 - lse_ref[0, 0])
+        do = do_ref[0, 0].astype(jnp.float32)
+        acc_dv[...] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dov = jax.lax.dot_general(
+            do, v_ref[0, 0].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ds = p * (dov - di_ref[0, 0]) * (scale2 / LOG2E)
+        acc_dk[...] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0, 0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
+               block_q=512, block_kv=512, interpret=None):
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    if interpret is None:
+        interpret = default_interpret()
+    assert s_q % block_q == 0 and s_k % block_kv == 0, (s_q, s_k)
+    scale2 = float(sm_scale) * LOG2E
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+    lse_col = lse2[..., None]  # [B,H,Sq,1]
+    di_col = di[..., None]
+
+    common_specs = dict(memory_space=pltpu.VMEM)
+    qspec = lambda f: pl.BlockSpec((1, 1, block_q, d), f, **common_specs)
+    kspec = lambda f: pl.BlockSpec((1, 1, block_kv, d), f, **common_specs)
+    qcol = lambda f: pl.BlockSpec((1, 1, block_q, 1), f, **common_specs)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_q=block_q, block_kv=block_kv,
+                          causal=is_causal, scale2=scale2),
+        grid=(b, h, s_q // block_q, s_k // block_kv),
+        in_specs=[
+            qspec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            kspec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            qspec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            qcol(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            qcol(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ],
+        out_specs=qspec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_col, di_col)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, block_kv=block_kv,
+                          causal=is_causal, scale2=scale2),
+        grid=(b, h, s_k // block_kv, s_q // block_q),
+        in_specs=[
+            qspec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            qspec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            qcol(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            qcol(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_col, di_col)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
+                              block_q=512, block_kv=512):
+    """Differentiable Pallas flash attention (bf16/f32; same-shape q/k/v,
+    no GQA in the gradient path yet). Forward == flash_attention_fp."""
+    o, _ = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv):
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    o, lse2 = lowbit_attention(
+        q, k, v, None, None, is_causal=is_causal, sm_scale=sm_scale,
+        block_q=block_q, block_kv=block_kv, return_lse=True,
+    )
+    return o.astype(q.dtype), lse2
+
+
+def _flash_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv):
+    o, lse2 = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    return o, (q, k, v, o, lse2)
+
+
+def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
+    q, k, v, o, lse2 = res
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    # backward blocks must divide the (padded) seq used in fwd; clamp.
+    bq = min(block_q, q.shape[2])
+    bk = min(block_kv, k.shape[2])
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
+        block_q=bq, block_kv=bk,
+    )
+    return dq, dk, dv
+
+
+flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd_rule)

@@ -1,0 +1,59 @@
+"""Flash attention backward: gradients must match differentiating the exact
+attention (the reference has no backward at all — this exceeds parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import flash_attention_trainable
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
+
+
+def _qkv(key=0, b=1, h=2, s=512, d=64):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    return tuple(jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_exact(causal):
+    q, k, v = _qkv(0)
+    t = jax.random.normal(jax.random.PRNGKey(9), q.shape)  # cotangent target
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, causal)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    def loss_exact(q, k, v):
+        o = attention_reference(q, k, v, is_causal=causal)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_e = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_f, g_e):
+        cos = float(cosine_similarity(a, b))
+        assert cos > 0.999, (name, cos)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2, err_msg=name
+        )
+
+
+def test_forward_value_matches():
+    q, k, v = _qkv(1)
+    o = flash_attention_trainable(q, k, v)
+    o_ref = attention_reference(q, k, v)
+    assert float(cosine_similarity(o, o_ref)) > 0.999
+
+
+def test_trainable_in_jit_grad_loop():
+    q, k, v = _qkv(2, s=256)
+
+    @jax.jit
+    def step(q):
+        return jax.grad(
+            lambda q: jnp.sum(flash_attention_trainable(q, k, v, True).astype(jnp.float32) ** 2)
+        )(q)
+
+    g = step(q)
+    assert jnp.isfinite(g).all()
