@@ -44,6 +44,21 @@ def test_dit_train_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_dit_train_step_flash_kernel():
+    """Training through the Pallas flash kernel (custom_vjp) works."""
+    cfg, params, x, t = _setup(s=64)
+    step = jax.jit(
+        lambda p, b, k: dit.sgd_train_step(p, b, k, cfg, lr=1e-2, attn_impl="flash_train")
+    )
+    losses = []
+    key = jax.random.PRNGKey(5)
+    for _ in range(3):
+        params, loss = step(params, x, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge
 
