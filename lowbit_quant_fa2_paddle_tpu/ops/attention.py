@@ -111,7 +111,6 @@ def _attn_body(
     is_last,
     refs,
     *,
-    q_len: int,
     kv_len: int,
     block_q: int,
     block_kv: int,
@@ -465,7 +464,6 @@ def lowbit_attention(
     ]
 
     params = dict(
-        q_len=s_q,
         kv_len=s_k,
         block_q=block_q,
         block_kv=block_kv,

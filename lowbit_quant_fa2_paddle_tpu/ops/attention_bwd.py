@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from lowbit_quant_fa2_paddle_tpu.ops.attention import (
     MASK_VALUE,
     lowbit_attention,
 )
-from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
+from lowbit_quant_fa2_paddle_tpu.ops.quant import default_interpret
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc,
