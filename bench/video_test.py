@@ -53,23 +53,28 @@ def main():
     p.add_argument("--seq", type=int, default=1024)
     p.add_argument("--full-size", action="store_true",
                    help="CogVideoX-2b geometry (30 heads x hd64, 17k tokens)")
+    p.add_argument("--baseline", default=None,
+                   help="baseline impl (default: exact; fp when --full-size "
+                        "— exact attention would materialize a 37 GB logits tensor)")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
     if args.full_size:
         cfg = dit.cogvideox_2b_config(depth=4)  # 4 blocks: attention-dominated
         seq = 17776  # 49x480x720 video latent tokens (SURVEY §7.6)
+        baseline_impl = args.baseline or "fp"
     else:
         cfg = dit.tiny_config(num_heads=8, dim=512, depth=2)
         seq = args.seq
+        baseline_impl = args.baseline or "exact"
 
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(1)
 
     t0 = time.perf_counter()
-    baseline = generate_latents(params, cfg, "exact", args.steps, seq, key)
+    baseline = generate_latents(params, cfg, baseline_impl, args.steps, seq, key)
     t_base = time.perf_counter() - t0
-    results = [{"impl": "exact", "seconds": round(t_base, 3), "frame_mse": 0.0}]
+    results = [{"impl": baseline_impl, "seconds": round(t_base, 3), "frame_mse": 0.0}]
     print(json.dumps(results[0]), flush=True)
 
     for impl in args.impl:
