@@ -1,0 +1,69 @@
+"""LLM decode demo: int8 prefill -> quantized KV cache -> streaming decode
+(the decode-path counterpart of example/dit_generate.py; reference hosted
+this in inferenceKit + the sglang decode experiments).
+
+  python example/llm_generate.py --prompt-len 512 --new-tokens 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lowbit_quant_fa2_paddle_tpu.models import llm
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prompt-len", type=int, default=512)
+    p.add_argument("--new-tokens", type=int, default=32)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--kv-heads", type=int, default=2)
+    args = p.parse_args()
+
+    cfg = llm.tiny_llm_config(
+        vocab=1024, dim=args.dim, depth=4, num_heads=args.heads,
+        num_kv_heads=args.kv_heads,
+        max_seq=args.prompt_len + args.new_tokens + 8,
+    )
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (args.batch, args.prompt_len), 0, cfg.vocab
+    )
+
+    t0 = time.perf_counter()
+    logits, caches = llm.llm_prefill(params, prompt, cfg, attn_impl="int8")
+    jax.block_until_ready(logits)
+    t_prefill = time.perf_counter() - t0
+    token = jnp.argmax(logits[:, -1], axis=-1)
+
+    t0 = time.perf_counter()
+    out = [token]
+    for _ in range(args.new_tokens - 1):
+        logits, caches = llm.llm_decode_step(params, token, caches, cfg)
+        token = jnp.argmax(logits, axis=-1)
+        out.append(token)
+    jax.block_until_ready(token)
+    t_decode = time.perf_counter() - t0
+
+    kv_bytes = sum(int(c["k"].size + c["v"].size) for c in caches)
+    print(
+        f"prefill {args.batch}x{args.prompt_len} tokens (int8 attn): {t_prefill:.2f}s | "
+        f"decode {args.new_tokens} tokens: {t_decode:.2f}s "
+        f"({t_decode / args.new_tokens * 1e3:.1f} ms/tok incl host loop) | "
+        f"int8 KV cache {kv_bytes / 1e6:.1f} MB (bf16 would be {kv_bytes * 2 / 1e6:.1f} MB)"
+    )
+    print("generated token ids:", [int(t) for t in jnp.stack(out, 1)[0][:16]], "...")
+
+
+if __name__ == "__main__":
+    main()

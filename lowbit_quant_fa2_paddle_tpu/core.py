@@ -41,6 +41,7 @@ __all__ = [
     "lowbit_fa_mixed_bits",
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
+    "lowbit_fa_multi_precision_jit",
     "sageattn",
     "sageattn_qk_int8_pv_fp16_triton",
     "sageattn_qk_int8_pv_fp16_cuda",
@@ -451,6 +452,48 @@ def select_quantization(q: jax.Array, k: jax.Array, *, fp16_threshold=0.2, int8_
     return "int4"
 
 
+def lowbit_fa_multi_precision_jit(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    fp16_threshold: float = 0.2,
+    int8_threshold: float = 0.05,
+    interpret: Optional[bool] = None,
+):
+    """Jit-compatible multi-precision dispatch: all three branches are
+    compiled and ``lax.switch`` selects at runtime from the traced scale
+    statistic (the reference's selector is host-side Python only,
+    src/core.py:1050-1096 — this removes that jit restriction at the cost
+    of compiling three kernels)."""
+    avg = (compute_scale(q) + compute_scale(k)) / 2.0
+    idx = jnp.where(avg > fp16_threshold, 0, jnp.where(avg > int8_threshold, 1, 2))
+
+    def fp_branch(q, k, v):
+        qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
+        o = flash_attention_fp(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret)
+        return _from_hnd(o.astype(v.dtype), tensor_layout)
+
+    return jax.lax.switch(
+        idx,
+        [
+            fp_branch,
+            lambda q, k, v: lowbit_fa_qk_int8_pv_fp16(
+                q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+                sm_scale=sm_scale, interpret=interpret,
+            ).astype(v.dtype),
+            lambda q, k, v: lowbit_fa_qk_int4_pv_fp16(
+                q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+                sm_scale=sm_scale, interpret=interpret,
+            ).astype(v.dtype),
+        ],
+        q, k, v,
+    )
+
+
 def lowbit_fa_multi_precision(
     q: jax.Array,
     k: jax.Array,
@@ -464,8 +507,8 @@ def lowbit_fa_multi_precision(
     """Dynamic bit allocation at the call level (reference
     ``sageattn_multi_precision``, src/core.py:1066-1096): inspect tensor
     scales, dispatch fp16 / int8 / int4. Host-side dispatch — not jittable
-    (the reference's is Python-level too); use the fixed-precision entry
-    points inside jit."""
+    (the reference's is Python-level too); inside jit use
+    :func:`lowbit_fa_multi_precision_jit`."""
     choice = select_quantization(q, k)
     if choice == "fp16":
         # Unlike the reference's fp16 branch (which ignores tensor_layout —

@@ -132,6 +132,19 @@ def test_multi_precision_api(scale, expected_cos):
     assert float(metrics.cosine_similarity(o, _ref(q, k, v))) > expected_cos
 
 
+def test_multi_precision_jit():
+    from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_multi_precision_jit
+
+    q, k, v = _qkv(20)
+    f = jax.jit(lambda q, k, v: lowbit_fa_multi_precision_jit(q, k, v))
+    # large-scale inputs -> fp branch; normal -> int8; tiny -> int4: all must
+    # track the oracle on their own inputs
+    for s in (30.0, 2.0, 0.01):
+        o = f(q * s, k * s, v)
+        cos = float(metrics.cosine_similarity(o, _ref(q * s, k * s, v)))
+        assert cos > (0.98 if s == 0.01 else 0.999), (s, cos)
+
+
 def test_sageattn_aliases():
     q, k, v = _qkv(10)
     for fn in (
