@@ -24,20 +24,24 @@ from lowbit_quant_fa2_paddle_tpu.models import dit
 from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity, mse
 
 
-def generate_latents(params, cfg, impl: str, steps: int, seq: int, key):
+def generate_latents(params, cfg, impl: str, steps: int, seq: int, key,
+                     scan_blocks: bool = False):
     """Toy deterministic DDIM-ish denoise loop: enough to propagate
     attention error through `steps` iterations like the reference's 50-step
     CogVideoX run does."""
     x = jax.random.normal(key, (1, seq, cfg.dim), cfg.dtype)
 
     @jax.jit
-    def step_fn(x, t):
-        eps = dit.dit_forward(params, x, t, cfg, attn_impl=impl)
+    def step_fn(params, x, t):
+        # params as an ARGUMENT: closing over them would bake every weight
+        # into the HLO as literals (oversized compile payloads).
+        eps = dit.dit_forward(params, x, t, cfg, attn_impl=impl,
+                              scan_blocks=scan_blocks)
         return x - 0.1 * eps
 
     for i in range(steps):
         t = jnp.array([1000.0 * (1.0 - i / steps)])
-        x = step_fn(x, t)
+        x = step_fn(params, x, t)
     return jax.block_until_ready(x)
 
 
@@ -72,14 +76,16 @@ def main():
     key = jax.random.PRNGKey(1)
 
     t0 = time.perf_counter()
-    baseline = generate_latents(params, cfg, baseline_impl, args.steps, seq, key)
+    baseline = generate_latents(params, cfg, baseline_impl, args.steps, seq, key,
+                                scan_blocks=args.full_size)
     t_base = time.perf_counter() - t0
     results = [{"impl": baseline_impl, "seconds": round(t_base, 3), "frame_mse": 0.0}]
     print(json.dumps(results[0]), flush=True)
 
     for impl in args.impl:
         t0 = time.perf_counter()
-        out = generate_latents(params, cfg, impl, args.steps, seq, key)
+        out = generate_latents(params, cfg, impl, args.steps, seq, key,
+                               scan_blocks=args.full_size)
         t = time.perf_counter() - t0
         row = {
             "impl": impl,

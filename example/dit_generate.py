@@ -44,14 +44,15 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, seq, cfg.dim), cfg.dtype)
 
     @jax.jit
-    def step_fn(x, t):
-        return x - 0.1 * dit.dit_forward(params, x, t, cfg, attn_impl=args.impl)
+    def step_fn(params, x, t):
+        return x - 0.1 * dit.dit_forward(params, x, t, cfg, attn_impl=args.impl,
+                                         scan_blocks=args.full_size)
 
     # compile outside the timed loop
-    jax.block_until_ready(step_fn(x, jnp.array([1000.0])))
+    jax.block_until_ready(step_fn(params, x, jnp.array([1000.0])))
     t0 = time.perf_counter()
     for i in range(args.steps):
-        x = step_fn(x, jnp.array([1000.0 * (1.0 - i / args.steps)]))
+        x = step_fn(params, x, jnp.array([1000.0 * (1.0 - i / args.steps)]))
     jax.block_until_ready(x)
     dt = time.perf_counter() - t0
     print(f"{args.steps} steps with attn_impl={args.impl}: {dt:.2f}s "

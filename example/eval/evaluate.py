@@ -52,9 +52,9 @@ def cosine(frames, baseline):
 
 def generate(params, cfg, impl, steps, seq, key):
     x = jax.random.normal(key, (1, seq, cfg.dim), cfg.dtype)
-    step = jax.jit(lambda x, t: x - 0.1 * dit.dit_forward(params, x, t, cfg, attn_impl=impl))
+    step = jax.jit(lambda params, x, t: x - 0.1 * dit.dit_forward(params, x, t, cfg, attn_impl=impl))
     for i in range(steps):
-        x = step(x, jnp.array([1000.0 * (1.0 - i / steps)]))
+        x = step(params, x, jnp.array([1000.0 * (1.0 - i / steps)]))
     return np.asarray(x, np.float32)
 
 

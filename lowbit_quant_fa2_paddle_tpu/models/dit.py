@@ -194,14 +194,30 @@ def dit_forward(
     cfg: DiTConfig,
     *,
     attn_impl: str = "int8",
+    scan_blocks: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Denoiser forward: x [B, S, dim] noisy latents, t [B] timesteps ->
-    predicted noise [B, S, dim]."""
+    predicted noise [B, S, dim].
+
+    ``scan_blocks`` runs the block stack under ``lax.scan`` over stacked
+    parameters: one block is traced/compiled once regardless of depth —
+    required for big-sequence configs whose fully-unrolled HLO exceeds
+    compile-service limits, and much faster to compile at depth 30."""
     c = timestep_embedding(t, cfg.time_embed_dim, cfg.dtype)
     c = _dense(params["t_embed"]["out"], jax.nn.silu(_dense(params["t_embed"]["in"], c)))
-    for blk in params["blocks"]:
-        x = dit_block_forward(blk, x, c, cfg, attn_impl, interpret)
+    if scan_blocks:
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *params["blocks"]
+        )
+
+        def body(x, blk):
+            return dit_block_forward(blk, x, c, cfg, attn_impl, interpret), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    else:
+        for blk in params["blocks"]:
+            x = dit_block_forward(blk, x, c, cfg, attn_impl, interpret)
     return _dense(params["final"], _layer_norm(x))
 
 
