@@ -39,10 +39,22 @@ def generate_latents(params, cfg, impl: str, steps: int, seq: int, key,
                               scan_blocks=scan_blocks)
         return x - 0.1 * eps
 
+    # compile outside the timed region — otherwise per-impl compile-cache
+    # state skews the comparison (an early version reported a bogus 1.47x
+    # this way). The warmup must force a VALUE fetch: on remote transports
+    # both execution AND compilation are async past block_until_ready.
+    warm = step_fn(params, x, jnp.array([1000.0]))
+    float(warm.ravel()[0])
+
+    t0 = time.perf_counter()
     for i in range(steps):
         t = jnp.array([1000.0 * (1.0 - i / steps)])
         x = step_fn(params, x, t)
-    return jax.block_until_ready(x)
+    x = jax.block_until_ready(x)
+    # force real completion: scalar fetch (block_until_ready can ack early
+    # on remote transports — see utils/benchmark.py)
+    float(x.ravel()[0])
+    return x, time.perf_counter() - t0
 
 
 def frame_loss(a, b):
@@ -75,18 +87,14 @@ def main():
     params = dit.init_dit_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(1)
 
-    t0 = time.perf_counter()
-    baseline = generate_latents(params, cfg, baseline_impl, args.steps, seq, key,
-                                scan_blocks=args.full_size)
-    t_base = time.perf_counter() - t0
+    baseline, t_base = generate_latents(params, cfg, baseline_impl, args.steps, seq, key,
+                                        scan_blocks=args.full_size)
     results = [{"impl": baseline_impl, "seconds": round(t_base, 3), "frame_mse": 0.0}]
     print(json.dumps(results[0]), flush=True)
 
     for impl in args.impl:
-        t0 = time.perf_counter()
-        out = generate_latents(params, cfg, impl, args.steps, seq, key,
-                               scan_blocks=args.full_size)
-        t = time.perf_counter() - t0
+        out, t = generate_latents(params, cfg, impl, args.steps, seq, key,
+                                  scan_blocks=args.full_size)
         row = {
             "impl": impl,
             "seconds": round(t, 3),
