@@ -116,6 +116,7 @@ def _attn_body(
     block_kv: int,
     causal: bool,
     tri: bool = False,
+    static_max: bool = False,
     quantized_qk: bool,
     k_pack_bits: int,
     v_quantized: bool,
@@ -148,6 +149,9 @@ def _attn_body(
     bias_ref = None
     if has_bias:
         bias_ref = next(it)
+    mstat_ref = None
+    if static_max:
+        mstat_ref = next(it)
     o_ref = next(it)
     lse_ref = next(it)
     m_scr = next(it)
@@ -156,7 +160,8 @@ def _attn_body(
 
     @pl.when(is_first)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
+        if not static_max:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -224,24 +229,37 @@ def _attn_body(
         if mask is not None:
             s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scr[...]  # [BQ, 128] (replicated)
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-        alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
         # When PV consumes bf16 anyway, run exp2 (and the [BQ,BK] tail of
         # the softmax) in bf16: the exp2 argument is <= 0, so the absolute
         # bf16 rounding bounds the relative error of p at ~ln2*2^-9 — cos
         # impact ~1e-6, VPU passes on the [BQ,BK] tile halve (+~5% kernel).
         bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
-        if bf16_softmax:
-            p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
+        if static_max:
+            # Per-token abs-max quantization guarantees every q/k code row
+            # maxes at 127, so the per-row logit bound m_static =
+            # qs_i*max(ks)*127^2*D overshoots the true row max by only
+            # log2(127^2*D / max_j i32_ij) ~ <=10 bits — trivially absorbed
+            # by the 8-bit f32/bf16 exponent after exp2. The whole online-max
+            # machinery (max reduce, alpha, accumulator rescale) vanishes:
+            # softmax becomes one shifted exp2 + plain accumulation.
+            shifted = s - mstat_ref[0, 0]  # [BQ,BK] - [BQ,1]
+            p = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
+            l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            l_scr[...] = l_scr[...] + jnp.broadcast_to(l_curr, l_scr.shape)
         else:
-            p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
-        l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+            m_prev = m_scr[...]  # [BQ, 128] (replicated)
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
+            if bf16_softmax:
+                p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
+            else:
+                p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
+            l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
 
         v = v_ref[0, 0]  # [BK, D] float | int8
         if v_quantized and pv_int8:
@@ -262,7 +280,10 @@ def _attn_body(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        if static_max:
+            acc_scr[...] = acc_scr[...] + pv
+        else:
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(is_last)
     def _finalize():
@@ -278,7 +299,7 @@ def _attn_body(
                 # plain add (reference fused v_mean epilogue).
                 o = o + vm_ref[0, 0]
         o_ref[0, 0] = o.astype(o_ref.dtype)
-        m = m_scr[...][:, :1]
+        m = mstat_ref[0, 0] if static_max else m_scr[...][:, :1]
         lse2 = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # base-2 LSE
         lse_ref[0, 0] = lse2  # [BQ, 1] column
 
@@ -300,6 +321,7 @@ def lowbit_attention(
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
     logit_cap: float = 0.0,
+    static_max: bool = False,
     pv_int8: bool = True,
     pv_dtype=jnp.bfloat16,
     block_q: int = 1024,
@@ -344,6 +366,26 @@ def lowbit_attention(
     smooth_v = v_mean is not None
     has_segments = q_segment_ids is not None
     has_bias = bias is not None
+    # static_max replaces the online running max with a per-row STATIC logit
+    # bound m_i = qs_i*|qc_i|_2 * max_j(ks_j*|kc_j|_2) (Cauchy-Schwarz on the
+    # integer codes). Unlike the worst-case 127^2*D bound — which overshoots
+    # the true max by ~100 base-2 units and underflows everything — the CS
+    # bound overshoots by ~1/cos(angle(q,k)), a few logit units, trivially
+    # absorbed by the f32/bf16 exponent. This deletes the max reduce, the
+    # alpha correction, and the accumulator rescale from the kernel's serial
+    # chain. Sound only when nothing else can push logits above the bound
+    # (no bias, no tanh rescale) and for unpacked int8 K (packed K would
+    # need an unpack pass to get norms). It yields unnormalized p, so the
+    # int8-P PV path is disabled with it.
+    static_max = (
+        static_max
+        and quantized_qk
+        and logit_cap == 0.0
+        and not has_bias
+        and k_pack_bits == 8
+    )
+    if static_max:
+        pv_int8 = False
 
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
@@ -453,6 +495,20 @@ def lowbit_attention(
                 pl.BlockSpec((1, 1, block_q, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi, qi, ki)), memory_space=pltpu.VMEM)
             )
         args.append(bias)
+    if static_max:
+        # Cauchy-Schwarz per-row bound (see note above); one cheap XLA pass
+        # over the codes.
+        q_norm = jnp.sqrt(
+            jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+        )  # [B,H,Sq]
+        k_norm = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        k_max = jnp.max(k_scale * k_norm, axis=2)  # [B, Hk]
+        k_max = jnp.repeat(k_max, group, axis=1)  # [B, H]
+        m_static = q_scale * q_norm * k_max[:, :, None]
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM)
+        )
+        args.append(m_static[..., None])
 
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
@@ -469,6 +525,7 @@ def lowbit_attention(
         block_kv=block_kv,
         causal=is_causal,
         tri=tri,
+        static_max=static_max,
         quantized_qk=quantized_qk,
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
