@@ -154,6 +154,29 @@ def test_fp_baseline_kernel():
     )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_static_max_matches_online(causal):
+    """static_max (Cauchy-Schwarz bound) must reproduce the online-softmax
+    result — requires real quantized codes (the bound assumes abs-max rows)."""
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q_f = jax.random.normal(ks[0], (1, 2, 512, 64))
+    k_f = jax.random.normal(ks[1], (1, 2, 512, 64))
+    v = jax.random.normal(ks[2], (1, 2, 512, 64))
+    qc, qs = q_ops.quant_int8(q_f, gran="per_token")
+    kc, ksc = q_ops.quant_int8(k_f, gran="per_token")
+    o_on = lowbit_attention(qc, kc, v, qs, ksc, is_causal=causal,
+                            pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    o_st = lowbit_attention(qc, kc, v, qs, ksc, is_causal=causal, static_max=True,
+                            pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(o_st), np.asarray(o_on), atol=1e-3, rtol=1e-3)
+    # LSE must agree too (same contract)
+    _, lse_on = lowbit_attention(qc, kc, v, qs, ksc, return_lse=True,
+                                 pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    _, lse_st = lowbit_attention(qc, kc, v, qs, ksc, return_lse=True, static_max=True,
+                                 pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lse_st), np.asarray(lse_on), atol=1e-3, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Tier 2: end-to-end quant + kernel accuracy
 # ---------------------------------------------------------------------------
