@@ -1,0 +1,71 @@
+"""Serving-flow integration: PageAllocator (native C++) -> paged int8 KV
+pool -> page-table decode kernel. The end-to-end shape of a paged-attention
+serving runtime (the role the external sglang/vLLM stack plays around the
+reference's decode kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lowbit_quant_fa2_paddle_tpu import host
+from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+from lowbit_quant_fa2_paddle_tpu.ops import metrics
+from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+
+def test_allocator_driven_paged_decode():
+    hk, d, page = 2, 64, 256
+    n_pool_pages = 16
+    alloc = host.PageAllocator(n_pool_pages)
+
+    # two sequences of different lengths share one physical pool
+    lens = [512, 256]
+    h = 8
+    key = jax.random.PRNGKey(0)
+    k_pool = np.zeros((hk, n_pool_pages, page, d), np.int8)
+    v_pool = np.zeros((hk, n_pool_pages, page, d), np.int8)
+    ks_pool = np.ones((hk, n_pool_pages, page), np.float32)
+    vs_pool = np.ones((hk, n_pool_pages, page), np.float32)
+    kv_dense = []
+    max_pages = max(L // page for L in lens)
+    table = np.zeros((len(lens), max_pages), np.int32)
+
+    for b, L in enumerate(lens):
+        sid = alloc.new_seq()
+        kk = jax.random.fold_in(key, b)
+        k = jax.random.normal(kk, (1, hk, L, d))
+        v = jax.random.normal(jax.random.fold_in(kk, 1), (1, hk, L, d))
+        kv_dense.append((k, v))
+        kc, ksc = quant_int8(k, gran="per_token")
+        vc, vsc = quant_int8(v, gran="per_token")
+        for pi in range(L // page):
+            phys = alloc.append_page(sid)
+            table[b, pi] = phys
+            sl = slice(pi * page, (pi + 1) * page)
+            k_pool[:, phys] = np.asarray(kc)[0, :, sl]
+            v_pool[:, phys] = np.asarray(vc)[0, :, sl]
+            ks_pool[:, phys] = np.asarray(ksc)[0, :, sl]
+            vs_pool[:, phys] = np.asarray(vsc)[0, :, sl]
+
+    assert alloc.stats()["free_pages"] == n_pool_pages - 3  # 2 + 1 pages used
+
+    q = jax.random.normal(jax.random.fold_in(key, 99), (len(lens), h, d))
+    o = dec.decode_attention(
+        q,
+        jnp.asarray(k_pool),
+        jnp.asarray(v_pool),
+        jnp.asarray(ks_pool),
+        jnp.asarray(lens, dtype=jnp.int32),
+        v_scale=jnp.asarray(vs_pool),
+        page_table=jnp.asarray(table),
+        block_kv=page,
+    )
+    for b, (k, v) in enumerate(kv_dense):
+        o_ref = attention_reference(q[b : b + 1].reshape(1, h, 1, d), k, v)[:, :, 0]
+        cos = float(metrics.cosine_similarity(o[b : b + 1], o_ref))
+        assert cos > 0.999, (b, cos)
+
+    # free a sequence; its pages return to the pool
+    alloc.free_seq(0)
+    assert alloc.stats()["free_pages"] == n_pool_pages - 1
