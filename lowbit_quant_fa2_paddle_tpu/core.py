@@ -105,17 +105,20 @@ def lowbit_fa_qk_int8_pv_fp16(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     tensor_layout: str = "HND",
+    quantization_backend: str = "pallas",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     qk_quant_gran: str = "per_token",
     pv_accum_dtype: str = "fp32",
     smooth_k: bool = True,
+    smooth_v: bool = False,
     return_lse: bool = False,
+    *,
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
+    **kwargs,
 ):
     """INT8-QK attention with floating PV (reference
     ``sageattn_qk_int8_pv_fp16_triton``/``_cuda``, src/core.py:194-352,
@@ -127,6 +130,8 @@ def lowbit_fa_qk_int8_pv_fp16(
     "fp32+fp32" selects fp32 operands (slower, more mantissa for P). The
     reference's fp16-accumulator buffer machinery
     (qk_int_sv_f16_buffer_cuda.cu) is unnecessary on TPU by construction.
+    ``quantization_backend``: "pallas" (≙ reference "triton"/"cuda") or
+    "xla" (pure-XLA quantizers, cross-check path).
     """
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
@@ -136,19 +141,33 @@ def lowbit_fa_qk_int8_pv_fp16(
         sm_scale = 1.0 / math.sqrt(d_og)
     qp, kp = _pad_head_dim(q), _pad_head_dim(k)
 
+    backend = "xla" if quantization_backend == "xla" else "pallas"
     km = quant_ops.k_mean(kp) if smooth_k else None
     gq, bq = _gran_block(qk_quant_gran, "q")
     gk, bk = _gran_block(qk_quant_gran, "k")
-    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
-    k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+    q_codes, q_scale = quant_ops.quant_int8(
+        qp, gran=gq, block=bq, backend=backend, interpret=interpret
+    )
+    k_codes, k_scale = quant_ops.quant_int8(
+        kp, km, gran=gk, block=bk, backend=backend, interpret=interpret
+    )
+    v_in = v
+    v_mean = None
+    if smooth_v:
+        # Smooth-V with float V (reference sageattn_qk_int8_pv_fp16_cuda
+        # smooth_v): subtract the per-channel mean, add it back in the
+        # kernel epilogue (softmax rows sum to 1).
+        v_mean = jnp.mean(v.astype(jnp.float32), axis=2)  # [B,Hk,D]
+        v_in = (v.astype(jnp.float32) - v_mean[:, :, None, :]).astype(v.dtype)
 
     pv_dtype = jnp.float32 if pv_accum_dtype == "fp32+fp32" else jnp.bfloat16
     out = lowbit_attention(
         q_codes,
         k_codes,
-        v,
+        v_in,
         q_scale,
         k_scale,
+        v_mean=v_mean,
         is_causal=is_causal,
         sm_scale=sm_scale,
         pv_dtype=pv_dtype,
@@ -169,7 +188,6 @@ def lowbit_fa_qk_int8_pv_int8(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
@@ -177,9 +195,11 @@ def lowbit_fa_qk_int8_pv_int8(
     smooth_k: bool = True,
     smooth_v: bool = True,
     return_lse: bool = False,
+    *,
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
+    **kwargs,
 ):
     """INT8-QK attention with per-channel INT8 V — the TPU analog of the
     reference's FP8-PV path (``sageattn_qk_int8_pv_fp8_cuda``,
@@ -230,16 +250,17 @@ def lowbit_fa_qk_int4_pv_fp16(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
     return_lse: bool = False,
+    *,
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
+    **kwargs,
 ):
     """INT8-Q × INT4-K attention (reference
     ``sageattn_qk_int4_pv_fp16_triton``, src/core.py:945-1036: Q 8-bit,
@@ -288,14 +309,15 @@ def lowbit_fa_qk_int2_pv_fp16(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
     return_lse: bool = False,
+    *,
     interpret: Optional[bool] = None,
+    **kwargs,
 ):
     """INT8-Q x INT2-K attention (codes in {-1,0,1}, four per byte —
     quarter the K HBM traffic). The reference benchmarks an INT2 variant
@@ -371,12 +393,15 @@ def lowbit_fa_varlen(
     v: jax.Array,
     cu_seqlens_q: jax.Array,
     cu_seqlens_k: jax.Array,
-    *,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
+    *,
     interpret: Optional[bool] = None,
+    **kwargs,
 ):
     """Ragged-batch INT8 attention (reference ``sageattn_varlen``,
     src/core.py:356-491).

@@ -140,8 +140,8 @@ def _attn_body(
     vs_ref = vm_ref = None
     if v_quantized:
         vs_ref = next(it)
-        if smooth_v:
-            vm_ref = next(it)
+    if smooth_v:
+        vm_ref = next(it)
     qseg_ref = kseg_ref = None
     if has_segments:
         qseg_ref = next(it)
@@ -294,10 +294,11 @@ def _attn_body(
             # Per-channel V scale commutes through P@V -> epilogue rescale
             # (the reference's fused v_scale, qk_int_sv_f8_cuda.cu:557-576).
             o = o * vs_ref[0, 0]  # [1, D] row
-            if smooth_v:
-                # softmax rows sum to 1 -> adding back the channel mean is a
-                # plain add (reference fused v_mean epilogue).
-                o = o + vm_ref[0, 0]
+        if smooth_v:
+            # softmax rows sum to 1 -> adding back the channel mean is a
+            # plain add (reference fused v_mean epilogue; also valid with
+            # float V, reference sageattn_qk_int8_pv_fp16_cuda smooth_v).
+            o = o + vm_ref[0, 0]
         o_ref[0, 0] = o.astype(o_ref.dtype)
         m = mstat_ref[0, 0] if static_max else m_scr[...][:, :1]
         lse2 = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # base-2 LSE
@@ -466,9 +467,9 @@ def lowbit_attention(
         assert v_scale is not None
         in_specs.append(pl.BlockSpec((1, 1, 1, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
         args.append(v_scale.astype(jnp.float32)[:, :, None, :])
-        if smooth_v:
-            in_specs.append(pl.BlockSpec((1, 1, 1, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
-            args.append(v_mean.astype(jnp.float32)[:, :, None, :])
+    if smooth_v:
+        in_specs.append(pl.BlockSpec((1, 1, 1, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
+        args.append(v_mean.astype(jnp.float32)[:, :, None, :])
     if has_segments:
         # q segments as a column [B,Sq,1]; kv segments as a row [B,1,Sk].
         in_specs += [
