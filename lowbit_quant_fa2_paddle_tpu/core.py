@@ -559,10 +559,11 @@ def lowbit_fa_attn(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    *,
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
+    return_lse: bool = False,
+    *,
     bits: str = "int8",
     **kwargs,
 ):
@@ -577,19 +578,23 @@ def lowbit_fa_attn(
         )
     if bits == "int8":
         return lowbit_fa_qk_int8_pv_fp16(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            sm_scale=sm_scale, return_lse=return_lse, **kwargs
         )
     if bits == "int8_v8":
         return lowbit_fa_qk_int8_pv_int8(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            sm_scale=sm_scale, return_lse=return_lse, **kwargs
         )
     if bits == "int4":
         return lowbit_fa_qk_int4_pv_fp16(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            sm_scale=sm_scale, return_lse=return_lse, **kwargs
         )
     if bits == "int2":
         return lowbit_fa_qk_int2_pv_fp16(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, **kwargs
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            sm_scale=sm_scale, return_lse=return_lse, **kwargs
         )
     if bits == "fp":
         qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
