@@ -10,8 +10,9 @@ variation become kernel-factory flags instead of separate files —
 * PV operand: float V, or per-channel INT8 V whose scale/mean are fused into
   the epilogue (the TPU analog of the reference's FP8-PV path with fused
   v_scale / v_mean, csrc/qattn/qk_int_sv_f8_cuda.cu:557-576);
-* causal (block skip above the diagonal + element mask on the band, mirroring
-  the reference's two-stage causal split, attn_qk_int8_per_block_causal.py:45-79);
+* causal via a scalar-prefetched TRIANGULAR grid — only at-or-below-diagonal
+  blocks are scheduled (true block/DMA skipping; the reference's two-stage
+  split only early-outs compute, attn_qk_int8_per_block_causal.py:45-79);
 * GQA head mapping via BlockSpec index maps (reference num_kv_groups,
   attn_qk_int8_per_block.py:104-119);
 * varlen via segment-id masks — the TPU-idiomatic replacement for cu_seqlens
@@ -38,7 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -235,13 +236,12 @@ def _attn_body(
         # impact ~1e-6, VPU passes on the [BQ,BK] tile halve (+~5% kernel).
         bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
         if static_max:
-            # Per-token abs-max quantization guarantees every q/k code row
-            # maxes at 127, so the per-row logit bound m_static =
-            # qs_i*max(ks)*127^2*D overshoots the true row max by only
-            # log2(127^2*D / max_j i32_ij) ~ <=10 bits — trivially absorbed
-            # by the 8-bit f32/bf16 exponent after exp2. The whole online-max
-            # machinery (max reduce, alpha, accumulator rescale) vanishes:
-            # softmax becomes one shifted exp2 + plain accumulation.
+            # m_static is the launcher's Cauchy-Schwarz per-row logit bound
+            # (see the launcher note) — it overshoots the true row max by
+            # only a few base-2 units, absorbed by the f32/bf16 exponent
+            # after exp2. The whole online-max machinery (max reduce, alpha,
+            # accumulator rescale) vanishes: softmax becomes one shifted
+            # exp2 + plain accumulation.
             shifted = s - mstat_ref[0, 0]  # [BQ,BK] - [BQ,1]
             p = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
             l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)

@@ -15,7 +15,6 @@ import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
 
@@ -35,9 +34,7 @@ def ulysses_attention(
     (local [B, H, S/n, D]). num_heads must be divisible by the axis size
     (same constraint the reference checks, parallel_sageattn_cogvideo.py:37-41).
     """
-    n = jax.lax.psum(1, axis_name)
-    h = q.shape[1]
-    # Static divisibility check happens at trace time via reshape below.
+    # Head-divisibility is enforced at trace time by the all_to_all reshape.
     if attn_fn is None:
         attn_fn = functools.partial(
             lowbit_fa_qk_int8_pv_fp16, is_causal=is_causal, interpret=interpret, **attn_kw
