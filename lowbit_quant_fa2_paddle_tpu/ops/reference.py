@@ -95,6 +95,53 @@ def attention_reference(
     return o
 
 
+def attention_reference_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    chunk: int = 1024,
+):
+    """Memory-bounded exact attention: identical math to
+    :func:`attention_reference`, computed per q-chunk so the logits tensor
+    never exceeds ``[B, H, chunk, Sk]`` — the oracle for sequence lengths
+    where the naive oracle would materialize tens of GB (e.g. 17k-token
+    CogVideoX latents or 128K contexts)."""
+    b, h, s_q, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if k.shape[1] != h:  # GQA
+        rep = h // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    n = -(-s_q // chunk)
+    pad = n * chunk - s_q
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    def one(carry, idx):
+        qc = jax.lax.dynamic_slice_in_dim(qp, idx * chunk, chunk, axis=2)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qc.astype(jnp.float32), k.astype(jnp.float32)
+        ) * sm_scale
+        if is_causal:
+            row = idx * chunk + jnp.arange(chunk)[:, None]
+            col = jnp.arange(k.shape[2])[None, :]
+            logits = jnp.where(col <= row, logits, DEFAULT_MASK_VALUE)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", p / jnp.sum(p, axis=-1, keepdims=True),
+            v.astype(jnp.float32),
+        )
+        return carry, o
+
+    _, chunks = jax.lax.scan(one, None, jnp.arange(n))
+    o = jnp.moveaxis(chunks, 0, 2).reshape(b, h, n * chunk, d)[:, :, :s_q]
+    return o.astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Quantization reference math
 # ---------------------------------------------------------------------------

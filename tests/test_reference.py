@@ -113,3 +113,13 @@ def test_smooth_k_invariance():
     np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_base), rtol=1e-4, atol=1e-5)
     lse_fixed = lse_smooth_k_correction(lse_s, q, km, scale)
     np.testing.assert_allclose(np.asarray(lse_fixed), np.asarray(lse_base), rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_oracle_matches_naive():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), h=4, h_kv=2, s=300)
+    from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference_chunked
+
+    for causal in (False, True):
+        a = attention_reference(q, k, v, is_causal=causal)
+        b = attention_reference_chunked(q, k, v, is_causal=causal, chunk=128)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
