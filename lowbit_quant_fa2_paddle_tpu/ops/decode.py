@@ -45,6 +45,16 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NEG_INIT = -1e30
 
 
+def _unpack4_cols(packed: jax.Array) -> jax.Array:
+    """Nibble-packed [N, D/2] int8 -> [N, D] f32 (halves-of-D scheme, same
+    layout as ops/quant.quant_int4). Shifts run in int32 — Mosaic cannot
+    legalize vector shifts on i8."""
+    p32 = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def _decode_kernel(
     lengths_ref,
     table_ref,
@@ -62,6 +72,8 @@ def _decode_kernel(
     logit_cap: float,
     sm_scale: float,
     v_quantized: bool,
+    k_bits: int = 8,
+    v_bits: int = 8,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -78,11 +90,32 @@ def _decode_kernel(
     @pl.when(j * block_kv < length)
     def _compute():
         q = q_ref[0, 0]  # [G, D] f32
-        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
         ks_row = ks_ref[0, 0]  # [1, BK]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, BK]
+        if k_bits == 4:
+            # Packed contraction without materializing the unpacked tile:
+            # unpacked columns are [lo | hi] (halves-of-D), so
+            # q @ unpack(kp)^T == q_lo @ lo^T + q_hi @ hi^T — two half-width
+            # dots instead of shifts + a lane-concat relayout on the big
+            # [BK, D] tile (the concat was costing more than the halved DMA
+            # saved; see DECODE_TPU.json history).
+            p32 = k_ref[0, 0].astype(jnp.int32)  # [BK, D/2]
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(p32, 28), 28
+            ).astype(jnp.float32)
+            hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.float32)
+            dh = p32.shape[-1]
+            s = jax.lax.dot_general(
+                q[:, :dh], lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q[:, dh:], hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, BK]
+        else:
+            k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [G, BK]
         s = s * ks_row * sm_scale
         if logit_cap > 0:
             # tanh capping in natural space (reference quant_sglang logit_cap)
@@ -102,15 +135,38 @@ def _decode_kernel(
         )
         m_scr[...] = m_next
 
-        v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
         if v_quantized:
             # In-kernel per-token V dequant: fold the scale row into P's
             # columns (commutes through the PV contraction) — one [G,BK]
             # multiply instead of a [BK,D] one.
             p = p * vs_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if v_bits == 4:
+            # Same no-concat trick on the PV side: the output halves
+            # [pv_lo | pv_hi] come from two half-width dots; the only concat
+            # left is on the tiny [G, D] result.
+            p32 = v_ref[0, 0].astype(jnp.int32)  # [BK, D/2]
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(p32, 28), 28
+            ).astype(jnp.float32)
+            hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.float32)
+            pv = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        p, lo, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ),
+                    jax.lax.dot_general(
+                        p, hi, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ),
+                ],
+                axis=-1,
+            )
+        else:
+            v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(j == nj - 1)
@@ -131,9 +187,12 @@ def decode_attention(
     sm_scale: Optional[float] = None,
     logit_cap: float = 0.0,
     block_kv: int = 1024,
+    kv_bits: int = 8,
+    k_bits: Optional[int] = None,
+    v_bits: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Single-token decode attention over an int8 KV cache (GQA/MQA).
+    """Single-token decode attention over an int8/int4 KV cache (GQA/MQA).
 
     ``block_kv`` is the KV streaming block (and the page size when paged).
     Measured on v5e at a 128K int8 cache: 256->71 GB/s, 1024->210,
@@ -144,7 +203,12 @@ def decode_attention(
       q: ``[B, H, D]`` float — current-token queries.
       k_cache/v_cache: contiguous ``[B, Hk, S, D]``, or paged
         ``[Hk, n_pages, page, D]`` with ``page_table``. int8 codes (or float
-        v_cache with ``v_scale=None``).
+        v_cache with ``v_scale=None``). With ``kv_bits=4`` (or per-cache
+        ``k_bits``/``v_bits``) the corresponding cache's last dim is ``D//2``
+        nibble-packed int4 codes (ops/quant.quant_int4 layout) — decode is HBM-bandwidth-bound, so halving the streamed
+        bytes again nearly doubles long-context decode throughput (the
+        in-kernel unpack is the TPU analog of the reference's fused 4-bit
+        dequant loads, quant_sglang_triton_attn.py:43-243 / KIVI caches).
       k_scale / v_scale: per-token scales: ``[B, Hk, S]`` contiguous or
         ``[Hk, n_pages, page]`` paged.
       lengths: ``[B]`` int32 valid lengths.
@@ -155,16 +219,26 @@ def decode_attention(
     Returns ``[B, H, D]`` in q.dtype.
     """
     b, h, d = q.shape
+    k_bits = kv_bits if k_bits is None else k_bits
+    v_bits = kv_bits if v_bits is None else v_bits
+    assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
     paged = page_table is not None
     v_quantized = v_cache.dtype == jnp.int8
     if v_quantized:
         assert v_scale is not None
+    if k_bits == 4:
+        assert k_cache.shape[-1] == d // 2, (k_cache.shape, d)
+    if v_bits == 4:
+        assert v_quantized, "packed int4 V needs v_scale"
+        assert v_cache.shape[-1] == d // 2, (v_cache.shape, d)
+    d_ck = k_cache.shape[-1]  # packed width when k_bits == 4
+    d_cv = v_cache.shape[-1]
 
     if paged:
         hk, n_pages, page, _ = k_cache.shape
         assert page == block_kv, (page, block_kv)
         max_pages = page_table.shape[1]
-        k_rows, v_rows = k_cache, v_cache  # [Hk, Np, page, D]
+        k_rows, v_rows = k_cache, v_cache  # [Hk, Np, page, Dc]
         ks_rows = k_scale.reshape(hk, n_pages, 1, page)
         vs_rows = v_scale.reshape(hk, n_pages, 1, page) if v_quantized else None
 
@@ -186,8 +260,8 @@ def decode_attention(
             jnp.arange(max_pages, dtype=jnp.int32), (b, max_pages)
         )
         # contiguous cache viewed as pages: rows are (b*hk + h)
-        k_rows = k_cache.reshape(b * hk, max_pages, block_kv, d)
-        v_rows = v_cache.reshape(b * hk, max_pages, block_kv, d)
+        k_rows = k_cache.reshape(b * hk, max_pages, block_kv, d_ck)
+        v_rows = v_cache.reshape(b * hk, max_pages, block_kv, d_cv)
         ks_rows = k_scale.reshape(b * hk, max_pages, 1, block_kv)
         vs_rows = (
             v_scale.reshape(b * hk, max_pages, 1, block_kv) if v_quantized else None
@@ -209,9 +283,9 @@ def decode_attention(
 
     in_specs = [
         pl.BlockSpec((1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d_ck), row_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d_cv), row_index, memory_space=pltpu.VMEM),
     ]
     args = [qg, k_rows, ks_rows, v_rows]
     if v_quantized:
@@ -228,7 +302,7 @@ def decode_attention(
             lengths_ref, table_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
             o_ref, m_s, l_s, a_s,
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
-            v_quantized=v_quantized,
+            v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -259,22 +333,39 @@ def decode_attention(
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(b: int, hk: int, s_max: int, d: int) -> dict:
-    """Contiguous int8 KV cache with per-token scales."""
+def init_kv_cache(
+    b: int, hk: int, s_max: int, d: int, *, bits: int = 8,
+    k_bits: Optional[int] = None, v_bits: Optional[int] = None,
+) -> dict:
+    """Contiguous int8 (or nibble-packed int4) KV cache with per-token
+    scales. ``k_bits``/``v_bits`` override ``bits`` per cache side (e.g. the
+    KIVI-style mixed config K=4 V=8)."""
+    k_bits = bits if k_bits is None else k_bits
+    v_bits = bits if v_bits is None else v_bits
+    assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
     return {
-        "k": jnp.zeros((b, hk, s_max, d), jnp.int8),
-        "v": jnp.zeros((b, hk, s_max, d), jnp.int8),
+        "k": jnp.zeros((b, hk, s_max, d if k_bits == 8 else d // 2), jnp.int8),
+        "v": jnp.zeros((b, hk, s_max, d if v_bits == 8 else d // 2), jnp.int8),
         "k_scale": jnp.ones((b, hk, s_max), jnp.float32),
         "v_scale": jnp.ones((b, hk, s_max), jnp.float32),
         "length": jnp.zeros((b,), jnp.int32),
     }
 
 
-def quantize_token(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-token symmetric int8 quant of new-token K/V rows ``[B, Hk, D]``."""
+def quantize_token(x: jax.Array, *, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric quant of new-token K/V rows ``[B, Hk, D]``.
+    ``bits=4`` returns nibble-packed ``[B, Hk, D//2]`` codes (halves-of-D
+    layout, matching ops/quant.quant_int4)."""
+    qmax = INT8_QMAX if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = amax / INT8_QMAX + EPS
-    codes = jnp.clip(round_away(x.astype(jnp.float32) / scale), -INT8_QMAX, INT8_QMAX)
+    scale = amax / qmax + EPS
+    codes = jnp.clip(round_away(x.astype(jnp.float32) / scale), -qmax, qmax)
+    if bits == 4:
+        c32 = codes.astype(jnp.int32)
+        d = x.shape[-1]
+        lo = c32[..., : d // 2] & 0xF
+        hi = c32[..., d // 2 :] & 0xF
+        return (lo | (hi << 4)).astype(jnp.int8), scale[..., 0]
     return codes.astype(jnp.int8), scale[..., 0]
 
 
@@ -282,8 +373,14 @@ def append_kv(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
     """Quantize and append one token's K/V ``[B, Hk, D]`` at each sequence's
     current length (the streaming-cache role of the reference's
     quant_and_pack_kcache/vcache, new_pack.py:9-144)."""
-    kq, ks = quantize_token(k_new)
-    vq, vs = quantize_token(v_new)
+    # Packed widths identify each side's bit depth (kept out of the dict so
+    # the cache stays a pure array pytree under jit).
+    kq, ks = quantize_token(
+        k_new, bits=8 if cache["k"].shape[-1] == k_new.shape[-1] else 4
+    )
+    vq, vs = quantize_token(
+        v_new, bits=8 if cache["v"].shape[-1] == v_new.shape[-1] else 4
+    )
     length = cache["length"]
 
     def upd_codes(buf, val):

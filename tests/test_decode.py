@@ -7,7 +7,7 @@ import pytest
 
 from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
 from lowbit_quant_fa2_paddle_tpu.ops import metrics
-from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int4, quant_int8
 from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
 
 
@@ -54,6 +54,94 @@ def test_decode_int8_kv():
     o = dec.decode_attention(q, kc, vc, ksc, lengths, v_scale=vsc)
     o_ref = _dense_ref(q, k, v, lengths)
     assert float(metrics.cosine_similarity(o, o_ref)) > 0.999
+
+
+def test_decode_int4_kv():
+    """int4 nibble-packed K and V caches (halved decode stream bytes)."""
+    q, k, v = _setup(7)
+    lengths = jnp.array([512, 400], jnp.int32)
+    kc, ksc = quant_int4(k, gran="per_token")
+    vc, vsc = quant_int4(v, gran="per_token")
+    o = dec.decode_attention(q, kc, vc, ksc, lengths, v_scale=vsc, kv_bits=4)
+    o_ref = _dense_ref(q, k, v, lengths)
+    assert float(metrics.cosine_similarity(o, o_ref)) > 0.985
+
+
+def test_decode_mixed_k4_v8():
+    """KIVI-style mixed config: int4 K (logit noise is softmax-smoothed) +
+    int8 V (value noise lands directly in the output)."""
+    q, k, v = _setup(10)
+    lengths = jnp.array([512, 400], jnp.int32)
+    kc, ksc = quant_int4(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    o = dec.decode_attention(
+        q, kc, vc, ksc, lengths, v_scale=vsc, k_bits=4, v_bits=8
+    )
+    o_ref = _dense_ref(q, k, v, lengths)
+    # int4-K noise dominates (matches the prefill int4-K record, ~0.994);
+    # int8 V adds ~nothing on top.
+    assert float(metrics.cosine_similarity(o, o_ref)) > 0.99
+
+
+def test_decode_int4_paged():
+    """Paged int4 cache matches the contiguous int4 result exactly."""
+    b, h, hk, s, d, page = 2, 8, 2, 512, 64, 256
+    q, k, v = _setup(8, b=b, h=h, hk=hk, s=s, d=d)
+    lengths = jnp.array([512, 300], jnp.int32)
+    kc, ksc = quant_int4(k, gran="per_token")
+    vc, vsc = quant_int4(v, gran="per_token")
+    o_contig = dec.decode_attention(q, kc, vc, ksc, lengths, v_scale=vsc, kv_bits=4)
+
+    n_log = s // page
+    np_total = b * n_log
+    dc = d // 2
+    perm = np.random.RandomState(1).permutation(np_total)
+    k_pool = np.zeros((hk, np_total, page, dc), np.int8)
+    v_pool = np.zeros((hk, np_total, page, dc), np.int8)
+    ks_pool = np.zeros((hk, np_total, page), np.float32)
+    vs_pool = np.zeros((hk, np_total, page), np.float32)
+    table = np.zeros((b, n_log), np.int32)
+    kc_n, vc_n = np.asarray(kc), np.asarray(vc)
+    ks_n, vs_n = np.asarray(ksc), np.asarray(vsc)
+    for bi in range(b):
+        for pi in range(n_log):
+            phys = int(perm[bi * n_log + pi])
+            table[bi, pi] = phys
+            sl = slice(pi * page, (pi + 1) * page)
+            k_pool[:, phys] = kc_n[bi, :, sl]
+            v_pool[:, phys] = vc_n[bi, :, sl]
+            ks_pool[:, phys] = ks_n[bi, :, sl]
+            vs_pool[:, phys] = vs_n[bi, :, sl]
+    o_paged = dec.decode_attention(
+        q, jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(ks_pool),
+        lengths, v_scale=jnp.asarray(vs_pool), page_table=jnp.asarray(table),
+        block_kv=page, kv_bits=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_paged), np.asarray(o_contig), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_kv_cache_int4_append_and_decode():
+    """Streaming int4 cache: packed append + decode matches dense."""
+    b, h, hk, d, s_max = 1, 4, 2, 32, 64
+    cache = dec.init_kv_cache(b, hk, s_max, d, bits=4)
+    assert cache["k"].shape[-1] == d // 2
+    key = jax.random.PRNGKey(9)
+    ks_all = jax.random.normal(key, (10, b, hk, d))
+    vs_all = jax.random.normal(jax.random.fold_in(key, 1), (10, b, hk, d))
+    append = jax.jit(dec.append_kv)
+    for t in range(10):
+        cache = append(cache, ks_all[t], vs_all[t])
+    q = jax.random.normal(jax.random.fold_in(key, 2), (b, h, d))
+    o = dec.decode_attention(
+        q, cache["k"], cache["v"], cache["k_scale"], cache["length"],
+        v_scale=cache["v_scale"], kv_bits=4,
+    )
+    k_dense = jnp.swapaxes(ks_all[:, 0], 0, 1)[None]
+    v_dense = jnp.swapaxes(vs_all[:, 0], 0, 1)[None]
+    o_ref = _dense_ref(q, k_dense, v_dense, jnp.array([10]))
+    assert float(metrics.cosine_similarity(o, o_ref)) > 0.985
 
 
 def test_decode_mqa_and_logit_cap():
