@@ -28,12 +28,15 @@ def main():
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--kv-heads", type=int, default=2)
+    p.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
+                   help="KV cache precision (4 = nibble-packed, quarter size)")
     args = p.parse_args()
 
     cfg = llm.tiny_llm_config(
         vocab=1024, dim=args.dim, depth=4, num_heads=args.heads,
         num_kv_heads=args.kv_heads,
         max_seq=args.prompt_len + args.new_tokens + 8,
+        kv_bits=args.kv_bits,
     )
     params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
     prompt = jax.random.randint(
@@ -56,11 +59,13 @@ def main():
     t_decode = time.perf_counter() - t0
 
     kv_bytes = sum(int(c["k"].size + c["v"].size) for c in caches)
+    bf16_bytes = kv_bytes * 2 * (8 // args.kv_bits)
     print(
         f"prefill {args.batch}x{args.prompt_len} tokens (int8 attn): {t_prefill:.2f}s | "
         f"decode {args.new_tokens} tokens: {t_decode:.2f}s "
         f"({t_decode / args.new_tokens * 1e3:.1f} ms/tok incl host loop) | "
-        f"int8 KV cache {kv_bytes / 1e6:.1f} MB (bf16 would be {kv_bytes * 2 / 1e6:.1f} MB)"
+        f"int{args.kv_bits} KV cache {kv_bytes / 1e6:.1f} MB "
+        f"(bf16 would be {bf16_bytes / 1e6:.1f} MB)"
     )
     print("generated token ids:", [int(t) for t in jnp.stack(out, 1)[0][:16]], "...")
 

@@ -11,6 +11,7 @@ quantization (WQLinear, 4-bit) is available for the MLP/projection weights
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -34,6 +35,9 @@ class LLMConfig:
     max_seq: int = 512
     rope_theta: float = 10000.0
     dtype: Any = jnp.float32
+    # KV-cache precision: 8 (int8, the latency point) or 4 (nibble-packed
+    # int4, quarter-size cache); see ops/decode.py + DECODE_TPU.json.
+    kv_bits: int = 8
 
     @property
     def head_dim(self) -> int:
@@ -124,9 +128,10 @@ def llm_prefill(
         x = x + jax.nn.silu(xm @ blk["w1"]) @ blk["w2"]
 
         # Build the layer's quantized cache from the prefill K/V.
-        cache = dec.init_kv_cache(b, hk, cfg.max_seq, hd)
-        kq, ks = jax.vmap(dec.quantize_token, in_axes=2, out_axes=2)(k)
-        vq, vs = jax.vmap(dec.quantize_token, in_axes=2, out_axes=2)(v)
+        cache = dec.init_kv_cache(b, hk, cfg.max_seq, hd, bits=cfg.kv_bits)
+        qtok = functools.partial(dec.quantize_token, bits=cfg.kv_bits)
+        kq, ks = jax.vmap(qtok, in_axes=2, out_axes=2)(k)
+        vq, vs = jax.vmap(qtok, in_axes=2, out_axes=2)(v)
         cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, 0, 0))
         cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, 0, 0))
         cache["k_scale"] = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, 0, 0))
@@ -168,6 +173,7 @@ def llm_decode_step(
             cache["k_scale"],
             cache["length"],
             v_scale=cache["v_scale"],
+            kv_bits=cfg.kv_bits,
             interpret=interpret,
         )  # [B,H,D]
         x = x + (o.reshape(b, 1, -1).astype(x.dtype) @ blk["wo"])

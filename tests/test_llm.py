@@ -43,3 +43,16 @@ def test_generate_runs():
     out = llm.generate(params, prompt, 4, cfg)
     assert out.shape == (2, 4)
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) < cfg.vocab).all()
+
+
+def test_generate_int4_cache():
+    """End-to-end generation with the quarter-size int4 KV cache."""
+    cfg = llm.tiny_llm_config(max_seq=64, kv_bits=4)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    toks = llm.generate(params, prompt, 4, cfg)
+    assert toks.shape == (2, 4)
+    # int4 cache stays close to the int8-cache generation path
+    cfg8 = llm.tiny_llm_config(max_seq=64, kv_bits=8)
+    toks8 = llm.generate(params, prompt, 4, cfg8)
+    assert float((toks == toks8).mean()) >= 0.75
