@@ -18,6 +18,10 @@ from lowbit_quant_fa2_paddle_tpu.core import (
     lowbit_fa_qk_int4_pv_fp16,
     lowbit_fa_varlen,
     lowbit_fa_multi_precision,
+    lowbit_fa_qk_int8_pv_fp16_triton,
+    lowbit_fa_qk_int8_pv_fp16_cuda,
+    lowbit_fa_qk_int8_pv_fp8_cuda,
+    lowbit_fa_qk_int4_pv_fp16_triton,
     sageattn,
     sageattn_qk_int8_pv_fp16_triton,
     sageattn_qk_int8_pv_fp16_cuda,
@@ -35,6 +39,10 @@ __all__ = [
     "lowbit_fa_qk_int4_pv_fp16",
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
+    "lowbit_fa_qk_int8_pv_fp16_triton",
+    "lowbit_fa_qk_int8_pv_fp16_cuda",
+    "lowbit_fa_qk_int8_pv_fp8_cuda",
+    "lowbit_fa_qk_int4_pv_fp16_triton",
     "sageattn",
     "sageattn_qk_int8_pv_fp16_triton",
     "sageattn_qk_int8_pv_fp16_cuda",

@@ -42,6 +42,10 @@ __all__ = [
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
     "lowbit_fa_multi_precision_jit",
+    "lowbit_fa_qk_int8_pv_fp16_triton",
+    "lowbit_fa_qk_int8_pv_fp16_cuda",
+    "lowbit_fa_qk_int8_pv_fp8_cuda",
+    "lowbit_fa_qk_int4_pv_fp16_triton",
     "sageattn",
     "sageattn_qk_int8_pv_fp16_triton",
     "sageattn_qk_int8_pv_fp16_cuda",
@@ -637,3 +641,11 @@ def sageattn_qk_int4_pv_fp16_triton(q, k, v, **kw):
 
 sageattn_varlen = lowbit_fa_varlen
 sageattn_multi_precision = lowbit_fa_multi_precision
+
+# The reference also exports the suffixed forms under its preferred
+# lowbit_fa_* naming (reference src/__init__.py:9-16); keep those
+# spellings resolvable too.
+lowbit_fa_qk_int8_pv_fp16_triton = sageattn_qk_int8_pv_fp16_triton
+lowbit_fa_qk_int8_pv_fp16_cuda = sageattn_qk_int8_pv_fp16_cuda
+lowbit_fa_qk_int8_pv_fp8_cuda = sageattn_qk_int8_pv_fp8_cuda
+lowbit_fa_qk_int4_pv_fp16_triton = sageattn_qk_int4_pv_fp16_triton
