@@ -9,8 +9,12 @@ local Q against the visiting KV block, merging partial results with exactly
 the base-2 LSE contract the kernels emit.
 
 Design (TPU-first):
-* K/V rotate as **int8 codes + scale rows**, not floats — halving ICI bytes
-  per hop is a distributed win the reference's GPU kernels never had.
+* K/V rotate as **quantized codes + scale rows**, not floats — halving (int8)
+  or quartering (packed int4 K via ``k_bits=4``) ICI bytes per hop is a
+  distributed win the reference's GPU kernels never had. ``v_bits=8`` also
+  rotates V as per-channel int8 codes (V is otherwise the dominant bf16
+  payload); the kernel's fused v_scale epilogue makes each partial
+  self-contained, so LSE merging is unchanged.
 * Smooth-K uses the **global** K mean (one psum of per-shard sums), so
   quantization matches the single-chip path bit-for-bit in distribution.
 * Causal skip: block (src > self) contributes nothing; we zero its merge
@@ -55,13 +59,19 @@ def ring_attention(
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     smooth_k: bool = True,
+    k_bits: int = 8,
+    v_bits: Optional[int] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     **kernel_kw,
 ):
-    """INT8 ring attention. Call inside shard_map with q/k/v sharded on the
-    sequence axis: local shapes ``[B, H, S/n, D]`` (HND). Sequence shards
+    """Quantized ring attention. Call inside shard_map with q/k/v sharded on
+    the sequence axis: local shapes ``[B, H, S/n, D]`` (HND). Sequence shards
     must be laid out in ring order (shard i holds positions [i*S/n,(i+1)S/n)).
+
+    ``k_bits``: 8 (int8 K codes) or 4 (nibble-packed — quarter of a bf16
+    ring's K bytes). ``v_bits``: None rotates float V; 8 rotates per-channel
+    int8 V codes + a tiny [B,Hk,D] scale (halves the dominant V payload).
     """
     b, h, s_loc, d = q.shape
     if sm_scale is None:
@@ -75,8 +85,19 @@ def ring_attention(
         k_sum = jnp.sum(k.astype(jnp.float32), axis=2, keepdims=True)
         km = jax.lax.psum(k_sum, axis_name) / (n * k.shape[2])
 
+    assert k_bits in (8, 4) and v_bits in (None, 8), (k_bits, v_bits)
     q_codes, q_scale = quant_ops.quant_int8(q, gran="per_token", interpret=interpret)
-    k_codes, k_scale = quant_ops.quant_int8(k, km, gran="per_token", interpret=interpret)
+    if k_bits == 4:
+        k_codes, k_scale = quant_ops.quant_int4(
+            k, km, gran="per_token", interpret=interpret
+        )
+    else:
+        k_codes, k_scale = quant_ops.quant_int8(
+            k, km, gran="per_token", interpret=interpret
+        )
+    v_scale = None
+    if v_bits == 8:
+        v, v_scale, _ = quant_ops.quant_v_int8_per_channel(v)
 
     o_acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
     l_acc = jnp.zeros((b, h, s_loc), jnp.float32)
@@ -84,7 +105,7 @@ def ring_attention(
     state = (o_acc, l_acc, m)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
-    k_blk, k_s_blk, v_blk = k_codes, k_scale, v
+    k_blk, k_s_blk, v_blk, v_s_blk = k_codes, k_scale, v, v_scale
 
     for t in range(n):
         src = (idx - t) % n
@@ -96,6 +117,8 @@ def ring_attention(
                 v_blk,
                 q_scale,
                 k_s_blk,
+                v_scale=v_s_blk,
+                k_pack_bits=k_bits,
                 is_causal=causal,
                 sm_scale=sm_scale,
                 return_lse=True,
@@ -132,6 +155,8 @@ def ring_attention(
             k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
             k_s_blk = jax.lax.ppermute(k_s_blk, axis_name, perm)
             v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            if v_s_blk is not None:
+                v_s_blk = jax.lax.ppermute(v_s_blk, axis_name, perm)
 
     o_acc, l_acc, m = state
     l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)

@@ -51,6 +51,18 @@ def test_ring_attention_lse():
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=5e-2, rtol=1e-2)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_low_bandwidth_k4_v8(causal):
+    """Low-ICI ring: packed int4 K codes + per-channel int8 V codes rotate
+    (quarter + half the float payloads); must still track dense attention."""
+    q, k, v = _qkv(5)
+    mesh = make_mesh({"seq": 4})
+    fn = make_ring_attention(mesh, is_causal=causal, k_bits=4, v_bits=8)
+    o = fn(q, k, v)
+    o_ref = attention_reference(q, k, v, is_causal=causal)
+    assert _cos(o, o_ref) > 0.99  # int4-K noise floor (see PERFORMANCE.md)
+
+
 def test_ring_degree_8():
     q, k, v = _qkv(2, s=512)
     mesh = make_mesh({"seq": 8})
