@@ -15,8 +15,12 @@ import functools
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
+from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.reference import round_away
 
 
 def ulysses_attention(
@@ -27,25 +31,76 @@ def ulysses_attention(
     axis_name: str,
     attn_fn: Optional[Callable] = None,
     is_causal: bool = False,
+    wire_bits: Optional[int] = None,
+    smooth_k: bool = True,
     interpret: Optional[bool] = None,
     **attn_kw,
 ):
     """Call inside shard_map with q/k/v sharded on the sequence axis
     (local [B, H, S/n, D]). num_heads must be divisible by the axis size
     (same constraint the reference checks, parallel_sageattn_cogvideo.py:37-41).
+
+    ``wire_bits=8`` quantizes BEFORE the reshard, so the all-to-alls move
+    int8 codes + scale rows instead of three bf16 tensors — half the ICI
+    bytes, and the quantization work itself is spread over the seq shards.
+    Per-token Q/K scales travel with their tokens; V uses ONE global
+    per-channel scale (an amax pmax over the axis) so codes from different
+    source shards stay mutually consistent after the head reshard.
     """
     # Head-divisibility is enforced at trace time by the all_to_all reshape.
-    if attn_fn is None:
-        attn_fn = functools.partial(
-            lowbit_fa_qk_int8_pv_fp16, is_causal=is_causal, interpret=interpret, **attn_kw
+    def fwd(x, seq_axis=2):  # [B,H,S/n,...] -> [B,H/n,S,...]
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=1, concat_axis=seq_axis, tiled=True
         )
-
-    def fwd(x):  # [B,H,S/n,D] -> [B,H/n,S,D]
-        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
     def bwd(x):  # [B,H/n,S,D] -> [B,H,S/n,D]
         return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
 
+    if wire_bits == 8:
+        assert attn_fn is None, "wire_bits selects the built-in int8 kernel"
+        n = jax.lax.psum(1, axis_name)
+        km = None
+        if smooth_k:
+            k_sum = jnp.sum(k.astype(jnp.float32), axis=2, keepdims=True)
+            km = jax.lax.psum(k_sum, axis_name) / (n * k.shape[2])
+        q_codes, q_scale = quant_ops.quant_int8(
+            q, gran="per_token", interpret=interpret
+        )
+        k_codes, k_scale = quant_ops.quant_int8(
+            k, km, gran="per_token", interpret=interpret
+        )
+        # Global per-channel V scale: local amax -> pmax over the axis.
+        vf = v.astype(jnp.float32)
+        amax = jax.lax.pmax(jnp.max(jnp.abs(vf), axis=2), axis_name)  # [B,H,D]
+        v_scale = amax / quant_ops.INT8_QMAX + quant_ops.EPS
+        v_codes = jnp.clip(
+            round_away(vf / v_scale[:, :, None, :]),
+            -quant_ops.INT8_QMAX,
+            quant_ops.INT8_QMAX,
+        ).astype(jnp.int8)
+        # v_scale is seq-invariant; the head reshard just takes this chip's
+        # head slice of it.
+        idx = jax.lax.axis_index(axis_name)
+        h_loc = v.shape[1] // n  # kv heads per chip (GQA-aware)
+        vs_local = jax.lax.dynamic_slice_in_dim(v_scale, idx * h_loc, h_loc, 1)
+        o = lowbit_attention(
+            fwd(q_codes),
+            fwd(k_codes),
+            fwd(v_codes),
+            fwd(q_scale[..., None])[..., 0],
+            fwd(k_scale[..., None])[..., 0],
+            v_scale=vs_local,
+            is_causal=is_causal,
+            out_dtype=v.dtype,
+            interpret=interpret,
+            **attn_kw,
+        )
+        return bwd(o)
+
+    if attn_fn is None:
+        attn_fn = functools.partial(
+            lowbit_fa_qk_int8_pv_fp16, is_causal=is_causal, interpret=interpret, **attn_kw
+        )
     o = attn_fn(fwd(q), fwd(k), fwd(v))
     return bwd(o)
 

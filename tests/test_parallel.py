@@ -52,6 +52,20 @@ def test_ring_attention_lse():
 
 
 @pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_int8_wire(causal):
+    """Ulysses with wire_bits=8: all-to-alls move int8 codes + scales (half
+    the bf16 payload); result must track dense attention."""
+    from lowbit_quant_fa2_paddle_tpu.parallel.ulysses import make_ulysses_attention as mk
+    q, k, v = _qkv(6)
+    k = k + 0.5  # exercise the global smooth-K psum
+    mesh = make_mesh({"seq": 4})
+    fn = mk(mesh, wire_bits=8, is_causal=causal)
+    o = fn(q, k, v)
+    o_ref = attention_reference(q, k, v, is_causal=causal)
+    assert _cos(o, o_ref) > 0.999
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_ring_low_bandwidth_k4_v8(causal):
     """Low-ICI ring: packed int4 K codes + per-channel int8 V codes rotate
     (quarter + half the float payloads); must still track dense attention."""
