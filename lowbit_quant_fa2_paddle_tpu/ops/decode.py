@@ -64,6 +64,7 @@ def _decode_kernel(
     v_ref,
     vs_ref,
     o_ref,
+    lse_ref,
     m_scr,
     l_scr,
     acc_scr,
@@ -173,6 +174,9 @@ def _decode_kernel(
     def _finalize():
         l = l_scr[...][:, :1]
         o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        # Base-2 LSE of the local logits (rows with no valid tokens keep
+        # m = NEG_INIT -> ~-inf weight in any cross-shard merge).
+        lse_ref[0, 0] = m_scr[...][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
 
 
 def decode_attention(
@@ -190,8 +194,9 @@ def decode_attention(
     kv_bits: int = 8,
     k_bits: Optional[int] = None,
     v_bits: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """Single-token decode attention over an int8/int4 KV cache (GQA/MQA).
 
     ``block_kv`` is the KV streaming block (and the page size when paged).
@@ -294,13 +299,13 @@ def decode_attention(
 
     def kernel(lengths_ref, table_ref, *refs):
         if v_quantized:
-            q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_s, l_s, a_s = refs
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref, m_s, l_s, a_s = refs
         else:
-            q_ref, k_ref, ks_ref, v_ref, o_ref, m_s, l_s, a_s = refs
+            q_ref, k_ref, ks_ref, v_ref, o_ref, lse_ref, m_s, l_s, a_s = refs
             vs_ref = None
         _decode_kernel(
             lengths_ref, table_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-            o_ref, m_s, l_s, a_s,
+            o_ref, lse_ref, m_s, l_s, a_s,
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
         )
@@ -309,9 +314,14 @@ def decode_attention(
         num_scalar_prefetch=2,
         grid=(b, hk, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, g_pad, 1), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -319,13 +329,21 @@ def decode_attention(
         ],
     )
 
-    out = pl.pallas_call(
+    out, lse2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hk, g_pad, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hk, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, g_pad, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *args)
-    return out[:, :, :g].reshape(b, h, d)
+    o = out[:, :, :g].reshape(b, h, d)
+    if return_lse:
+        # Base-2 LSE per (b, head) — the cross-shard merge contract
+        # (parallel/serving.py), mirroring the prefill kernels' LSE export.
+        return o, lse2[:, :, :g, 0].reshape(b, h)
+    return o
 
 
 # ---------------------------------------------------------------------------

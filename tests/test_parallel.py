@@ -120,3 +120,58 @@ def test_ring_int8_payload_halves_ici_bytes():
     assert any("s8" in line for line in txt.splitlines() if "collective-permute" in line), (
         "expected an int8 collective-permute"
     )
+
+
+@pytest.mark.parametrize("lengths", [[512, 512], [400, 130]])
+def test_context_sharded_decode(lengths):
+    """One sequence's KV cache sharded across 4 chips; psum LSE merge must
+    match single-device decode (incl. shards left empty by short lengths)."""
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+    from lowbit_quant_fa2_paddle_tpu.parallel.serving import (
+        make_context_sharded_decode,
+    )
+
+    b, h, hk, s, d = 2, 8, 2, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array(lengths, jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+
+    o_single = dec.decode_attention(q, kc, vc, ksc, lengths, v_scale=vsc)
+
+    mesh = make_mesh({"seq": 4})
+    fn = make_context_sharded_decode(mesh, block_kv=128)
+    o_sharded = fn(q, kc, vc, ksc, lengths, vsc)
+    np.testing.assert_allclose(
+        np.asarray(o_sharded), np.asarray(o_single), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_head_sharded_decode():
+    """TP decode: head shards decode independently; equals single-device."""
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+    from lowbit_quant_fa2_paddle_tpu.parallel.serving import (
+        make_head_sharded_decode,
+    )
+
+    b, h, hk, s, d = 2, 8, 4, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array([256, 200], jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+
+    o_single = dec.decode_attention(q, kc, vc, ksc, lengths, v_scale=vsc)
+    mesh = make_mesh({"model": 4})
+    fn = make_head_sharded_decode(mesh)
+    o_tp = fn(q, kc, vc, ksc, lengths, vsc)
+    np.testing.assert_allclose(
+        np.asarray(o_tp), np.asarray(o_single), atol=2e-5, rtol=1e-4
+    )
