@@ -323,7 +323,12 @@ def lowbit_attention(
     k_pack_bits: int = 8,
     logit_cap: float = 0.0,
     static_max: bool = False,
-    pv_int8: bool = True,
+    # int8 P@V is opt-in: on v5e the [BQ,BK] p-requantization pass costs
+    # more VPU time than the int8 MXU rate saves (video e2e: 0.74x vs fp
+    # with it, ~parity without), and bf16 P@V is also more accurate
+    # (cos 0.9998 vs 0.9994 at hd128). Generations whose int8 MXU advantage
+    # outweighs a VPU pass can flip it back on.
+    pv_int8: bool = False,
     pv_dtype=jnp.bfloat16,
     block_q: int = 1024,
     block_kv: int = 1024,
