@@ -119,6 +119,9 @@ def _attn_body(
     tri: bool = False,
     static_max: bool = False,
     quantized_qk: bool,
+    fused_quant: bool = False,
+    smooth_k_fused: bool = False,
+    fused_k_qmax: float = 127.0,
     k_pack_bits: int,
     v_quantized: bool,
     pv_int8: bool,
@@ -134,8 +137,11 @@ def _attn_body(
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
-    qs_ref = ks_ref = None
-    if quantized_qk:
+    qs_ref = ks_ref = km_ref = None
+    if fused_quant:
+        if smooth_k_fused:
+            km_ref = next(it)
+    elif quantized_qk:
         qs_ref = next(it)
         ks_ref = next(it)
     vs_ref = vm_ref = None
@@ -179,6 +185,33 @@ def _attn_body(
         # feed runs ~40% faster than contracting dim 1 of a [BK, D] tile
         # (measured: int8 295 vs 210 TOPS, bf16 240 vs 152 TF at D=64).
         kt = k_ref[0, 0]
+        if fused_quant:
+            # In-kernel per-token INT8 quantization of the bf16 tiles: the
+            # tile re-quantization per (i, j) visit costs <1% kernel time
+            # (each [BQ,D]/[D,BK] VPU pass is 1/16 of a [BQ,BK] pass) but
+            # deletes the external quant kernels' HBM round trips — worth
+            # ~7% end-to-end (PERFORMANCE.md). Math is identical to
+            # ops/quant.quant_int8(gran="per_token"): abs-max/127 + EPS,
+            # round half away from zero.
+            qf = q.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-7
+            q = jnp.clip(
+                jax.lax.round(qf / qa, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
+                -127.0, 127.0,
+            ).astype(jnp.int8)
+            ktf = kt.astype(jnp.float32)  # [D, BK]
+            if km_ref is not None:
+                ktf = ktf - km_ref[0, 0]  # smooth-K: km column [D, 1]
+            # fused_k_qmax = 7 gives the INT4-K accuracy class with no
+            # pack/unpack at all (packing only ever halved HBM bytes; here
+            # K arrives as bf16 and codes never leave VMEM).
+            ka = jnp.max(jnp.abs(ktf), axis=0, keepdims=True) / fused_k_qmax + 1e-7
+            kt = jnp.clip(
+                jax.lax.round(ktf / ka, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
+                -fused_k_qmax, fused_k_qmax,
+            ).astype(jnp.int8)
+            qs_tile = qa * sm_scale_log2e  # [BQ, 1]
+            ks_tile = ka  # [1, BK]
         if k_pack_bits == 4:
             p32 = kt.astype(jnp.int32)
             lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
@@ -196,8 +229,11 @@ def _attn_body(
             s = jax.lax.dot_general(
                 q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
             ).astype(jnp.float32)
-            qs = qs_ref[0, 0]  # [BQ, 1] column (includes sm_scale*log2e)
-            ks = ks_ref[0, 0]  # [1, BK] row
+            if fused_quant:
+                qs, ks = qs_tile, ks_tile
+            else:
+                qs = qs_ref[0, 0]  # [BQ, 1] column (includes sm_scale*log2e)
+                ks = ks_ref[0, 0]  # [1, BK] row
             s = s * qs * ks
         else:
             s = jax.lax.dot_general(
@@ -314,6 +350,9 @@ def lowbit_attention(
     *,
     v_scale: Optional[jax.Array] = None,
     v_mean: Optional[jax.Array] = None,
+    fused_quant: bool = False,
+    fused_k_bits: int = 8,
+    k_mean: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
@@ -355,7 +394,13 @@ def lowbit_attention(
     b, h, s_q, d_q = q.shape
     _, h_kv, s_k, _ = k.shape
     d = v.shape[-1]
-    quantized_qk = q_scale is not None
+    quantized_qk = q_scale is not None or fused_quant
+    if fused_quant:
+        # In-kernel quantization consumes FLOAT q/k (see the kernel note);
+        # ``k_mean`` [B,Hk,1,D] enables fused smooth-K.
+        assert q_scale is None and k_scale is None, "fused_quant quantizes in-kernel"
+        assert k_pack_bits == 8 and not k_packed_int4
+        assert q.dtype != jnp.int8 and k.dtype != jnp.int8
     if k_packed_int4:
         k_pack_bits = 4
     if sm_scale is None:
@@ -386,6 +431,7 @@ def lowbit_attention(
     static_max = (
         static_max
         and quantized_qk
+        and not fused_quant  # needs external codes for the CS bound
         and logit_cap == 0.0
         and not has_bias
         and k_pack_bits == 8
@@ -411,7 +457,7 @@ def lowbit_attention(
     q = pad_seq(q, sq_pad)
     k = pad_seq(k, sk_pad)
     v = pad_seq(v, sk_pad)
-    if quantized_qk:
+    if quantized_qk and not fused_quant:
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
         q_scale = pad_seq(q_scale, sq_pad, axis=2)
         k_scale = pad_seq(k_scale.astype(jnp.float32), sk_pad, axis=2)
@@ -461,7 +507,15 @@ def lowbit_attention(
         pl.BlockSpec((1, 1, block_kv, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
     ]
     args = [q, k_t, v]
-    if quantized_qk:
+    if fused_quant:
+        if k_mean is not None:
+            # km travels as a [B,Hk,D,1] column to match the kt [D,BK] tile.
+            km_t = jnp.swapaxes(k_mean.astype(jnp.float32), 2, 3)
+            in_specs.append(
+                pl.BlockSpec((1, 1, d_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM)
+            )
+            args.append(km_t)
+    elif quantized_qk:
         # q_scale as a column [B,H,Sq,1]; k_scale as a row [B,Hk,1,Sk].
         in_specs += [
             pl.BlockSpec((1, 1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
@@ -533,6 +587,9 @@ def lowbit_attention(
         tri=tri,
         static_max=static_max,
         quantized_qk=quantized_qk,
+        fused_quant=fused_quant,
+        smooth_k_fused=fused_quant and k_mean is not None,
+        fused_k_qmax=127.0 if fused_k_bits == 8 else 7.0,
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         pv_int8=pv_int8,

@@ -117,6 +117,12 @@ def quant_int8(
     if backend == "xla":
         return _quant_int8_xla(x, km, per_token=per_token, block=block)
 
+    if per_token:
+        # ``block`` is only the grid tile here (scales are per row), and
+        # small tiles starve the DMA pipeline: measured b4h32 s4096 hd64
+        # block 128 -> 1.60 ms vs 1024 -> 0.68 ms. Stream in big tiles.
+        block = max(block, min(1024, cdiv(s, 128) * 128))
+
     # Pad seq to a block multiple; padded rows quantize to zeros and are
     # sliced away below.
     s_pad = cdiv(s, block) * block

@@ -212,3 +212,53 @@ def test_kernel_is_jittable():
     o = f(q, k, v)
     o_ref = attention_reference(q, k, v)
     assert float(metrics.cosine_similarity(o, o_ref)) > 0.999
+
+
+class TestFusedQuant:
+    """fuse_quant=True must be bit-identical to the external per-token path
+    (same math, in-kernel)."""
+
+    def _setup(self, causal):
+        ks = jax.random.split(jax.random.PRNGKey(21), 3)
+        q = jax.random.normal(ks[0], (2, 4, 256, 64), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (2, 4, 256, 64), jnp.bfloat16) + 0.5
+        v = jax.random.normal(ks[2], (2, 4, 256, 64), jnp.bfloat16)
+        return q, k, v
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_external_path(self, causal):
+        from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+
+        q, k, v = self._setup(causal)
+        kw = dict(is_causal=causal, block_q=128, block_kv=128, return_lse=True)
+        o_ext, lse_ext = lowbit_fa_qk_int8_pv_fp16(q, k, v, **kw)
+        o_fus, lse_fus = lowbit_fa_qk_int8_pv_fp16(q, k, v, fuse_quant=True, **kw)
+        np.testing.assert_array_equal(np.asarray(o_fus), np.asarray(o_ext))
+        np.testing.assert_array_equal(np.asarray(lse_fus), np.asarray(lse_ext))
+
+    def test_no_smooth_k_and_gqa(self):
+        from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+
+        q, k, v = self._setup(False)
+        k2, v2 = k[:, :2], v[:, :2]  # GQA: 4 q heads over 2 kv heads
+        kw = dict(smooth_k=False, block_q=128, block_kv=128)
+        o_ext = lowbit_fa_qk_int8_pv_fp16(q, k2, v2, **kw)
+        o_fus = lowbit_fa_qk_int8_pv_fp16(q, k2, v2, fuse_quant=True, **kw)
+        np.testing.assert_array_equal(np.asarray(o_fus), np.asarray(o_ext))
+
+
+def test_fused_int4_matches_packed_path():
+    """lowbit_fa_qk_int4_pv_fp16's in-kernel K-int4 quant (fuse_quant) is
+    bit-identical to the packed external path — packing only changes
+    storage, not values."""
+    from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int4_pv_fp16
+
+    ks = jax.random.split(jax.random.PRNGKey(22), 3)
+    q = jax.random.normal(ks[0], (2, 4, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (2, 4, 256, 64), jnp.bfloat16) + 0.3
+    v = jax.random.normal(ks[2], (2, 4, 256, 64), jnp.bfloat16)
+    for causal in (False, True):
+        kw = dict(is_causal=causal, block_q=128, block_kv=128)
+        o_ext = lowbit_fa_qk_int4_pv_fp16(q, k, v, fuse_quant=False, **kw)
+        o_fus = lowbit_fa_qk_int4_pv_fp16(q, k, v, **kw)
+        np.testing.assert_array_equal(np.asarray(o_fus), np.asarray(o_ext))
