@@ -158,10 +158,15 @@ def lowbit_fa_qk_int8_pv_fp16(
     km = quant_ops.k_mean(kp) if smooth_k else None
     if fuse_quant is None:
         # Auto: on exactly when in-kernel quant reproduces the requested
-        # config bit-for-bit (per-token scales, pallas backend).
+        # config bit-for-bit (per-token scales, pallas backend) AND wins on
+        # time. In-kernel quant adds a ~constant ~15% to the kernel, while
+        # the external quant kernels cost O(S) against the attention's
+        # O(S^2) — measured crossover on v5e is around s~6k (s4096: fused
+        # 9.1 ms vs external ~9.6; s17776: fused 43.4 vs external 40.3).
         fuse_quant = (
             backend == "pallas"
             and _gran_block(qk_quant_gran, "q")[0] == "per_token"
+            and k.shape[2] <= 4096
         )
     if fuse_quant:
         assert backend != "xla", "fuse_quant quantizes in-kernel"
@@ -306,7 +311,11 @@ def lowbit_fa_qk_int4_pv_fp16(
 
     km = quant_ops.k_mean(kp) if smooth_k else None
     if fuse_quant is None:
-        fuse_quant = _gran_block(qk_quant_gran, "q")[0] == "per_token"
+        # Same auto rule as the int8 path (see its docstring note).
+        fuse_quant = (
+            _gran_block(qk_quant_gran, "q")[0] == "per_token"
+            and k.shape[2] <= 4096
+        )
     if fuse_quant:
         # In-kernel Q-int8 / K-int4 quantization: bit-identical values to
         # the packed external path (packing only changes storage), minus
@@ -454,6 +463,7 @@ def lowbit_fa_varlen(
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
     *,
+    fuse_quant: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **kwargs,
 ):
@@ -487,10 +497,18 @@ def lowbit_fa_varlen(
 
     qp, kp = _pad_head_dim(qh), _pad_head_dim(kh)
     km = quant_ops.k_mean(kp) if smooth_k else None
-    gq, bq = _gran_block(qk_quant_gran, "q")
-    gk, bk = _gran_block(qk_quant_gran, "k")
-    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
-    k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+    if fuse_quant is None:
+        fuse_quant = (
+            _gran_block(qk_quant_gran, "q")[0] == "per_token"
+            and k.shape[0] <= 4096  # packed total tokens (same crossover)
+        )
+    if fuse_quant:
+        q_codes, q_scale, k_codes, k_scale = qp, None, kp, None
+    else:
+        gq, bq = _gran_block(qk_quant_gran, "q")
+        gk, bk = _gran_block(qk_quant_gran, "k")
+        q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
+        k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
 
     o = lowbit_attention(
         q_codes,
@@ -498,6 +516,8 @@ def lowbit_fa_varlen(
         vh,
         q_scale,
         k_scale,
+        fused_quant=fuse_quant,
+        k_mean=km if fuse_quant else None,
         q_segment_ids=q_seg,
         kv_segment_ids=kv_seg,
         is_causal=is_causal,
