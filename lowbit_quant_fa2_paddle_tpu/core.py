@@ -177,8 +177,10 @@ def lowbit_fa_qk_int8_pv_fp16(
         q_codes, q_scale = quant_ops.quant_int8(
             qp, gran=gq, block=bq, backend=backend, interpret=interpret
         )
+        # K codes come out pre-transposed [B,Hk,D,Sk] — the layout the QK dot
+        # consumes — deleting a whole-tensor XLA int8 transpose pass.
         k_codes, k_scale = quant_ops.quant_int8(
-            kp, km, gran=gk, block=bk, backend=backend, interpret=interpret
+            kp, km, gran=gk, block=bk, backend=backend, layout="ds", interpret=interpret
         )
     v_in = v
     v_mean = None
@@ -198,6 +200,7 @@ def lowbit_fa_qk_int8_pv_fp16(
         k_scale,
         fused_quant=fuse_quant,
         k_mean=km if fuse_quant else None,
+        k_transposed=not fuse_quant,
         v_mean=v_mean,
         is_causal=is_causal,
         sm_scale=sm_scale,

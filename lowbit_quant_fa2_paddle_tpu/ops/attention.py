@@ -360,6 +360,10 @@ def lowbit_attention(
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
+    # K arrives already transposed [B, Hk, Dk, Sk] (e.g. straight from
+    # quant_int8(layout="ds")) — skips the whole-tensor XLA int8 transpose
+    # between quant and attention.
+    k_transposed: bool = False,
     logit_cap: float = 0.0,
     static_max: bool = False,
     # int8 P@V is opt-in: on v5e the [BQ,BK] p-requantization pass costs
@@ -392,7 +396,10 @@ def lowbit_attention(
         log and apply the smooth-K correction — reference src/core.py:344-350).
     """
     b, h, s_q, d_q = q.shape
-    _, h_kv, s_k, _ = k.shape
+    if k_transposed:
+        _, h_kv, _, s_k = k.shape
+    else:
+        _, h_kv, s_k, _ = k.shape
     d = v.shape[-1]
     quantized_qk = q_scale is not None or fused_quant
     if fused_quant:
@@ -455,7 +462,7 @@ def lowbit_attention(
         return jnp.pad(x, cfg)
 
     q = pad_seq(q, sq_pad)
-    k = pad_seq(k, sk_pad)
+    k = pad_seq(k, sk_pad, axis=3 if k_transposed else 2)
     v = pad_seq(v, sk_pad)
     if quantized_qk and not fused_quant:
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
@@ -499,8 +506,12 @@ def lowbit_attention(
         def IM(f):
             return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
 
-    d_k = k.shape[-1]  # packed width when int4/int2
-    k_t = jnp.swapaxes(k, 2, 3)  # [B, Hk, Dk, Sk] — see kernel QK note
+    if k_transposed:
+        d_k = k.shape[2]  # packed width when int4/int2
+        k_t = k
+    else:
+        d_k = k.shape[-1]
+        k_t = jnp.swapaxes(k, 2, 3)  # [B, Hk, Dk, Sk] — see kernel QK note
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d_q), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d_k, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM),
@@ -561,7 +572,9 @@ def lowbit_attention(
         q_norm = jnp.sqrt(
             jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
         )  # [B,H,Sq]
-        k_norm = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        k_norm = jnp.sqrt(
+            jnp.sum(jnp.square(k.astype(jnp.float32)), axis=2 if k_transposed else -1)
+        )  # [B,Hk,Sk]
         k_max = jnp.max(k_scale * k_norm, axis=2)  # [B, Hk]
         k_max = jnp.repeat(k_max, group, axis=1)  # [B, H]
         m_static = q_scale * q_norm * k_max[:, :, None]

@@ -68,7 +68,9 @@ def _qmax_for_bits(bits: int) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _quant_int8_kernel(x_ref, km_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float):
+def _quant_int8_kernel(
+    x_ref, km_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float, emit_t: bool = False
+):
     x = x_ref[0, 0].astype(jnp.float32)  # [BLK, D]
     if km_ref is not None:
         x = x - km_ref[0, 0].astype(jnp.float32)  # fused smooth-K
@@ -80,12 +82,22 @@ def _quant_int8_kernel(x_ref, km_ref, codes_ref, scale_ref, *, per_token: bool, 
     scale = amax / qmax + EPS
     codes = round_away(x / scale)
     codes = jnp.clip(codes, -qmax, qmax)
-    codes_ref[0, 0] = codes.astype(jnp.int8)
+    if emit_t:
+        # Emit the codes pre-transposed [D, BLK]: the attention kernel
+        # consumes K^T, and an in-VMEM f32 transpose here deletes the
+        # whole-tensor XLA int8 transpose pass between quant and attention.
+        codes_ref[0, 0] = codes.T.astype(jnp.int8)
+    else:
+        codes_ref[0, 0] = codes.astype(jnp.int8)
     scale_ref[0, 0] = scale  # [BLK, 1] column tile — no relayout
 
 
-def _quant_int8_kernel_nokm(x_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float):
-    _quant_int8_kernel(x_ref, None, codes_ref, scale_ref, per_token=per_token, qmax=qmax)
+def _quant_int8_kernel_nokm(
+    x_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float, emit_t: bool = False
+):
+    _quant_int8_kernel(
+        x_ref, None, codes_ref, scale_ref, per_token=per_token, qmax=qmax, emit_t=emit_t
+    )
 
 
 def quant_int8(
@@ -95,6 +107,7 @@ def quant_int8(
     gran: str = "per_block",
     block: int = 128,
     backend: str = "auto",
+    layout: str = "ns",
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Symmetric INT8 quantization of HND ``[B, H, S, D]``.
@@ -103,11 +116,19 @@ def quant_int8(
     the fused smooth-K path (reference quant_per_block_int8_fuse_sub_mean,
     csrc/fused/fused.cu:430-520).
 
-    Returns ``(codes int8 [B,H,S,D], scale f32 [B,H,S])`` — per-token scale
-    rows (see module docstring).
+    ``layout="ds"`` emits the codes pre-transposed as ``[B, H, D, S]`` — the
+    layout the attention kernel's QK dot wants for K — straight from the
+    quant kernel (the TPU analog of the reference's fused transpose+quant V
+    pipeline, csrc/fused/fused.cu ``TransposePadPermuteKernel``; here applied
+    to K to kill the inter-kernel XLA int8 transpose pass).
+
+    Returns ``(codes int8 [B,H,S,D] ("ns") or [B,H,D,S] ("ds"),
+    scale f32 [B,H,S])`` — per-token scale rows (see module docstring).
     """
     assert gran in ("per_block", "per_token"), gran
+    assert layout in ("ns", "ds"), layout
     per_token = gran == "per_token"
+    emit_t = layout == "ds"
     b, h, s, d = x.shape
     if backend == "auto":
         backend = "pallas"
@@ -115,7 +136,10 @@ def quant_int8(
         interpret = default_interpret()
 
     if backend == "xla":
-        return _quant_int8_xla(x, km, per_token=per_token, block=block)
+        codes, scale = _quant_int8_xla(x, km, per_token=per_token, block=block)
+        if emit_t:
+            codes = jnp.swapaxes(codes, 2, 3)
+        return codes, scale
 
     if per_token:
         # ``block`` is only the grid tile here (scales are per row), and
@@ -139,16 +163,31 @@ def quant_int8(
             pl.BlockSpec((1, 1, 1, d), lambda bi, hi, si: (bi, hi, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(km)
-        kernel = functools.partial(_quant_int8_kernel, per_token=per_token, qmax=INT8_QMAX)
+        kernel = functools.partial(
+            _quant_int8_kernel, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t
+        )
     else:
-        kernel = functools.partial(_quant_int8_kernel_nokm, per_token=per_token, qmax=INT8_QMAX)
+        kernel = functools.partial(
+            _quant_int8_kernel_nokm, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t
+        )
+
+    if emit_t:
+        codes_spec = pl.BlockSpec(
+            (1, 1, d, block), lambda bi, hi, si: (bi, hi, 0, si), memory_space=pltpu.VMEM
+        )
+        codes_shape = jax.ShapeDtypeStruct((b, h, d, s_pad), jnp.int8)
+    else:
+        codes_spec = pl.BlockSpec(
+            (1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM
+        )
+        codes_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.int8)
 
     codes, scale = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
+            codes_spec,
             # Scales travel in column layout [B,H,S,1]: the (BLK, 1) tile is
             # exactly the [BLK,1] column the kernels produce/consume, and the
             # [B,H,S,1] <-> [B,H,1,S] reinterpretations outside are free
@@ -156,7 +195,7 @@ def quant_int8(
             pl.BlockSpec((1, 1, block, 1), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.int8),
+            codes_shape,
             jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -164,7 +203,8 @@ def quant_int8(
         ),
         interpret=interpret,
     )(*args)
-    return codes[:, :, :s], scale[:, :, :s, 0]
+    codes = codes[:, :, :, :s] if emit_t else codes[:, :, :s]
+    return codes, scale[:, :, :s, 0]
 
 
 def _quant_int8_xla(x, km, *, per_token: bool, block: int, bits: int = 8):
