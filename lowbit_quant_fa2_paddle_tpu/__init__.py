@@ -15,7 +15,10 @@ exporting both the legacy ``sageattn*`` names and the preferred
 from lowbit_quant_fa2_paddle_tpu.core import (
     lowbit_fa_attn,
     lowbit_fa_qk_int8_pv_fp16,
+    lowbit_fa_qk_int8_pv_int8,
     lowbit_fa_qk_int4_pv_fp16,
+    lowbit_fa_qk_int2_pv_fp16,
+    lowbit_fa_mixed_bits,
     lowbit_fa_varlen,
     lowbit_fa_multi_precision,
     lowbit_fa_qk_int8_pv_fp16_triton,
@@ -30,15 +33,20 @@ from lowbit_quant_fa2_paddle_tpu.core import (
     sageattn_varlen,
     sageattn_multi_precision,
 )
+from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp
 
 __version__ = "0.1.0"
 
 __all__ = [
     "lowbit_fa_attn",
     "lowbit_fa_qk_int8_pv_fp16",
+    "lowbit_fa_qk_int8_pv_int8",
     "lowbit_fa_qk_int4_pv_fp16",
+    "lowbit_fa_qk_int2_pv_fp16",
+    "lowbit_fa_mixed_bits",
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
+    "flash_attention_fp",
     "lowbit_fa_qk_int8_pv_fp16_triton",
     "lowbit_fa_qk_int8_pv_fp16_cuda",
     "lowbit_fa_qk_int8_pv_fp8_cuda",

@@ -131,6 +131,7 @@ def _attn_body(
     logit_cap: float,
     sm_scale_log2e: float,
     pv_dtype,
+    mask_v_edge: bool = False,
 ):
     # --- unpack refs in the fixed order the launcher builds them ---
     it = iter(refs)
@@ -298,6 +299,15 @@ def _attn_body(
             l_scr[...] = l_next
 
         v = v_ref[0, 0]  # [BK, D] float | int8
+        if mask_v_edge:
+            # Seq dims are not physically padded; the edge KV block reads
+            # whatever lies past the array end. p for those columns is
+            # exactly 0 (masked to MASK_VALUE pre-exp2), but 0 * NaN = NaN
+            # would still poison the accumulator through P@V, so float V
+            # garbage rows are zeroed here (int8 V is always finite).
+            rows_left = kv_len - j * block_kv
+            vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(vrow < rows_left, v, 0)
         if v_quantized and pv_int8:
             # True INT8 P@V on the MXU (2x bf16 throughput): quantize the
             # softmax weights to int8 with the static scale 127 (p rows max
@@ -449,37 +459,18 @@ def lowbit_attention(
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
 
-    # Pad seq dims to block multiples. Padded KV columns are masked via
-    # kv_len; padded Q rows are sliced away (their l may be 0 -> guarded).
-    sq_pad = cdiv(s_q, block_q) * block_q
-    sk_pad = cdiv(s_k, block_kv) * block_kv
-
-    def pad_seq(x, target, axis=2):
-        if x is None or x.shape[axis] == target:
-            return x
-        cfg = [(0, 0)] * x.ndim
-        cfg[axis] = (0, target - x.shape[axis])
-        return jnp.pad(x, cfg)
-
-    q = pad_seq(q, sq_pad)
-    k = pad_seq(k, sk_pad, axis=3 if k_transposed else 2)
-    v = pad_seq(v, sk_pad)
+    # Seq dims are NOT physically padded to block multiples: Pallas handles
+    # partial edge blocks (masked stores), the kv_len mask below covers edge
+    # KV columns, garbage Q edge rows are row-isolated and their stores
+    # masked, and float-V edge garbage is zeroed in-kernel (mask_v_edge).
+    # This deletes whole-tensor pad + slice HBM copies on every
+    # non-block-multiple call (e.g. the 17776-token CogVideoX shape).
     if quantized_qk and not fused_quant:
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
-        q_scale = pad_seq(q_scale, sq_pad, axis=2)
-        k_scale = pad_seq(k_scale.astype(jnp.float32), sk_pad, axis=2)
-    if has_segments:
-        # Padded positions get segment id -1 (never matches valid ids >= 0).
-        if q_segment_ids.shape[1] != sq_pad:
-            q_segment_ids = jnp.pad(
-                q_segment_ids, ((0, 0), (0, sq_pad - q_segment_ids.shape[1])), constant_values=-1
-            )
-        if kv_segment_ids.shape[1] != sk_pad:
-            kv_segment_ids = jnp.pad(
-                kv_segment_ids, ((0, 0), (0, sk_pad - kv_segment_ids.shape[1])), constant_values=-2
-            )
+        k_scale = k_scale.astype(jnp.float32)
 
-    nq, nk_blocks = sq_pad // block_q, sk_pad // block_kv
+    nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
+    mask_v_edge = s_k % block_kv != 0 and v.dtype != jnp.int8
     # Triangular (true block-skip) schedule for causal; rectangular otherwise.
     tri = bool(is_causal) and nq > 1
     if tri:
@@ -556,12 +547,10 @@ def lowbit_attention(
         # attn_4bit_per_block.py bias support). Pre-scale to base-2.
         bias = (bias.astype(jnp.float32) * LOG2E)
         if bias.shape[2] == 1:
-            bias = pad_seq(bias, sk_pad, axis=3)
             in_specs.append(
                 pl.BlockSpec((1, 1, 1, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi, 0, ki)), memory_space=pltpu.VMEM)
             )
         else:
-            bias = pad_seq(pad_seq(bias, sk_pad, axis=3), sq_pad, axis=2)
             in_specs.append(
                 pl.BlockSpec((1, 1, block_q, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi, qi, ki)), memory_space=pltpu.VMEM)
             )
@@ -588,8 +577,8 @@ def lowbit_attention(
         pl.BlockSpec((1, 1, block_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype),
-        jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, s_q, d), out_dtype),
+        jax.ShapeDtypeStruct((b, h, s_q, 1), jnp.float32),
     ]
 
     params = dict(
@@ -612,15 +601,16 @@ def lowbit_attention(
         logit_cap=float(logit_cap),
         sm_scale_log2e=float(sm_scale) * LOG2E,
         pv_dtype=pv_dtype,
+        mask_v_edge=mask_v_edge,
     )
 
     # Causal halves the average work per kv row; reflect it in the cost
     # estimate so XLA schedules neighbours sensibly.
-    flops = 4 * b * h * sq_pad * sk_pad * d * (0.5 if is_causal else 1.0)
+    flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(
         flops=int(flops),
         bytes_accessed=int(q.size * q.dtype.itemsize + k.size + v.size * v.dtype.itemsize),
-        transcendentals=int(b * h * sq_pad * sk_pad),
+        transcendentals=int(b * h * nq * block_q * nk_blocks * block_kv),
     )
     scratch_shapes = [
         pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
@@ -660,9 +650,8 @@ def lowbit_attention(
             interpret=interpret,
         )(*args)
 
-    o = o[:, :, :s_q]
     if return_lse:
-        return o, lse2[:, :, :s_q, 0]
+        return o, lse2[:, :, :, 0]
     return o
 
 

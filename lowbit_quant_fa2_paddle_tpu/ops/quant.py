@@ -63,15 +63,38 @@ def _qmax_for_bits(bits: int) -> float:
     return {8: INT8_QMAX, 4: INT4_QMAX, 2: INT2_QMAX}[bits]
 
 
+def _mask_edge_rows(x: jax.Array, seq_len: int, block: int) -> jax.Array:
+    """Zero out rows past the true sequence end in the (possibly partial)
+    edge block. Seq dims are NOT physically padded to block multiples — the
+    grid edge block reads whatever lies past the array end, and a garbage row
+    would corrupt per-BLOCK scales (absmax / rms over the tile). Zeros
+    reproduce the old zero-padding semantics exactly. Per-token scales don't
+    need this (garbage rows only produce garbage rows, and their stores are
+    masked), but the where-pass is ~free next to the quant math."""
+    rows_left = seq_len - pl.program_id(2) * block
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < rows_left, x, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # INT8 quantization kernel
 # ---------------------------------------------------------------------------
 
 
 def _quant_int8_kernel(
-    x_ref, km_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float, emit_t: bool = False
+    x_ref,
+    km_ref,
+    codes_ref,
+    scale_ref,
+    *,
+    per_token: bool,
+    qmax: float,
+    emit_t: bool = False,
+    mask_edge: int = 0,
 ):
     x = x_ref[0, 0].astype(jnp.float32)  # [BLK, D]
+    if mask_edge:
+        x = _mask_edge_rows(x, mask_edge, x.shape[0])
     if km_ref is not None:
         x = x - km_ref[0, 0].astype(jnp.float32)  # fused smooth-K
     if per_token:
@@ -93,10 +116,17 @@ def _quant_int8_kernel(
 
 
 def _quant_int8_kernel_nokm(
-    x_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float, emit_t: bool = False
+    x_ref, codes_ref, scale_ref, *, per_token: bool, qmax: float, emit_t: bool = False, mask_edge: int = 0
 ):
     _quant_int8_kernel(
-        x_ref, None, codes_ref, scale_ref, per_token=per_token, qmax=qmax, emit_t=emit_t
+        x_ref,
+        None,
+        codes_ref,
+        scale_ref,
+        per_token=per_token,
+        qmax=qmax,
+        emit_t=emit_t,
+        mask_edge=mask_edge,
     )
 
 
@@ -147,12 +177,12 @@ def quant_int8(
         # block 128 -> 1.60 ms vs 1024 -> 0.68 ms. Stream in big tiles.
         block = max(block, min(1024, cdiv(s, 128) * 128))
 
-    # Pad seq to a block multiple; padded rows quantize to zeros and are
-    # sliced away below.
-    s_pad = cdiv(s, block) * block
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-    grid = (b, h, s_pad // block)
+    # No physical seq padding: the grid edge block is partial (Pallas masks
+    # its stores) and the kernel zeroes rows past the seq end in-tile —
+    # deleting two whole-tensor pad/slice HBM copies for non-multiple seqs
+    # (measured 1.39 -> 0.79 ms at the 17776-token flagship shape).
+    mask_edge = s if s % block != 0 else 0
+    grid = (b, h, cdiv(s, block))
 
     in_specs = [
         pl.BlockSpec((1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
@@ -164,23 +194,23 @@ def quant_int8(
         )
         args.append(km)
         kernel = functools.partial(
-            _quant_int8_kernel, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t
+            _quant_int8_kernel, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t, mask_edge=mask_edge
         )
     else:
         kernel = functools.partial(
-            _quant_int8_kernel_nokm, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t
+            _quant_int8_kernel_nokm, per_token=per_token, qmax=INT8_QMAX, emit_t=emit_t, mask_edge=mask_edge
         )
 
     if emit_t:
         codes_spec = pl.BlockSpec(
             (1, 1, d, block), lambda bi, hi, si: (bi, hi, 0, si), memory_space=pltpu.VMEM
         )
-        codes_shape = jax.ShapeDtypeStruct((b, h, d, s_pad), jnp.int8)
+        codes_shape = jax.ShapeDtypeStruct((b, h, d, s), jnp.int8)
     else:
         codes_spec = pl.BlockSpec(
             (1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM
         )
-        codes_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.int8)
+        codes_shape = jax.ShapeDtypeStruct((b, h, s, d), jnp.int8)
 
     codes, scale = pl.pallas_call(
         kernel,
@@ -196,15 +226,14 @@ def quant_int8(
         ],
         out_shape=[
             codes_shape,
-            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)
-    codes = codes[:, :, :, :s] if emit_t else codes[:, :, :s]
-    return codes, scale[:, :, :s, 0]
+    return codes, scale[:, :, :, 0]
 
 
 def _quant_int8_xla(x, km, *, per_token: bool, block: int, bits: int = 8):
@@ -244,8 +273,10 @@ def _quant_int8_xla(x, km, *, per_token: bool, block: int, bits: int = 8):
 # shaped by Triton's per-row layout.
 
 
-def _quant_int4_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool):
+def _quant_int4_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool, mask_edge: int = 0):
     x = x_ref[0, 0].astype(jnp.float32)  # [BLK, D]
+    if mask_edge:
+        x = _mask_edge_rows(x, mask_edge, x.shape[0])
     if km_ref is not None:
         x = x - km_ref[0, 0].astype(jnp.float32)
     if per_token:
@@ -261,8 +292,8 @@ def _quant_int4_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool)
     scale_ref[0, 0] = scale  # [BLK, 1] column tile
 
 
-def _quant_int4_kernel_nokm(x_ref, packed_ref, scale_ref, *, per_token: bool):
-    _quant_int4_kernel(x_ref, None, packed_ref, scale_ref, per_token=per_token)
+def _quant_int4_kernel_nokm(x_ref, packed_ref, scale_ref, *, per_token: bool, mask_edge: int = 0):
+    _quant_int4_kernel(x_ref, None, packed_ref, scale_ref, per_token=per_token, mask_edge=mask_edge)
 
 
 def quant_int4(
@@ -283,18 +314,16 @@ def quant_int4(
     assert d % 2 == 0
     if interpret is None:
         interpret = default_interpret()
-    s_pad = cdiv(s, block) * block
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-    grid = (b, h, s_pad // block)
+    mask_edge = s if s % block != 0 else 0
+    grid = (b, h, cdiv(s, block))
     in_specs = [pl.BlockSpec((1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM)]
     args = [x]
     if km is not None:
         in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, si: (bi, hi, 0, 0), memory_space=pltpu.VMEM))
         args.append(km)
-        kernel = functools.partial(_quant_int4_kernel, per_token=per_token)
+        kernel = functools.partial(_quant_int4_kernel, per_token=per_token, mask_edge=mask_edge)
     else:
-        kernel = functools.partial(_quant_int4_kernel_nokm, per_token=per_token)
+        kernel = functools.partial(_quant_int4_kernel_nokm, per_token=per_token, mask_edge=mask_edge)
     packed, scale = pl.pallas_call(
         kernel,
         grid=grid,
@@ -304,19 +333,23 @@ def quant_int4(
             pl.BlockSpec((1, 1, block, 1), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d // 2), jnp.int8),
-            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, d // 2), jnp.int8),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)
-    return packed[:, :, :s], scale[:, :, :s, 0]
+    return packed, scale[:, :, :, 0]
 
 
-def _quant_int2_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool):
+def _quant_int2_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool, mask_edge: int = 0):
     x = x_ref[0, 0].astype(jnp.float32)  # [BLK, D]
+    if mask_edge:
+        # NOTE: zeroed edge rows enter the per-block RMS below — identical to
+        # the old zero-padding semantics.
+        x = _mask_edge_rows(x, mask_edge, x.shape[0])
     if km_ref is not None:
         x = x - km_ref[0, 0].astype(jnp.float32)
     # Lloyd-Max 3-level quantizer for ~gaussian data: representation points
@@ -337,8 +370,8 @@ def _quant_int2_kernel(x_ref, km_ref, packed_ref, scale_ref, *, per_token: bool)
     scale_ref[0, 0] = scale
 
 
-def _quant_int2_kernel_nokm(x_ref, packed_ref, scale_ref, *, per_token: bool):
-    _quant_int2_kernel(x_ref, None, packed_ref, scale_ref, per_token=per_token)
+def _quant_int2_kernel_nokm(x_ref, packed_ref, scale_ref, *, per_token: bool, mask_edge: int = 0):
+    _quant_int2_kernel(x_ref, None, packed_ref, scale_ref, per_token=per_token, mask_edge=mask_edge)
 
 
 def quant_int2(
@@ -360,18 +393,16 @@ def quant_int2(
     assert d % 4 == 0
     if interpret is None:
         interpret = default_interpret()
-    s_pad = cdiv(s, block) * block
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-    grid = (b, h, s_pad // block)
+    mask_edge = s if s % block != 0 else 0
+    grid = (b, h, cdiv(s, block))
     in_specs = [pl.BlockSpec((1, 1, block, d), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM)]
     args = [x]
     if km is not None:
         in_specs.append(pl.BlockSpec((1, 1, 1, d), lambda bi, hi, si: (bi, hi, 0, 0), memory_space=pltpu.VMEM))
         args.append(km)
-        kernel = functools.partial(_quant_int2_kernel, per_token=per_token)
+        kernel = functools.partial(_quant_int2_kernel, per_token=per_token, mask_edge=mask_edge)
     else:
-        kernel = functools.partial(_quant_int2_kernel_nokm, per_token=per_token)
+        kernel = functools.partial(_quant_int2_kernel_nokm, per_token=per_token, mask_edge=mask_edge)
     packed, scale = pl.pallas_call(
         kernel,
         grid=grid,
@@ -381,15 +412,15 @@ def quant_int2(
             pl.BlockSpec((1, 1, block, 1), lambda bi, hi, si: (bi, hi, si, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d // 4), jnp.int8),
-            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, d // 4), jnp.int8),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)
-    return packed[:, :, :s], scale[:, :, :s, 0]
+    return packed, scale[:, :, :, 0]
 
 
 def unpack_int2(packed: jax.Array) -> jax.Array:

@@ -47,6 +47,19 @@ def test_quant_int8_xla_backend_equivalent():
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-6)
 
 
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+@pytest.mark.parametrize("gran", ["per_block", "per_token"])
+def test_quant_int8_transposed_layout(gran, backend):
+    # layout="ds" must be exactly swapaxes(2,3) of the "ns" codes — the
+    # attention kernel consumes K^T [B,H,D,S] straight from the quantizer.
+    x = _x(6, s=200)
+    c_ns, s_ns = q_ops.quant_int8(x, gran=gran, backend=backend)
+    c_ds, s_ds = q_ops.quant_int8(x, gran=gran, backend=backend, layout="ds")
+    assert c_ds.shape == (x.shape[0], x.shape[1], x.shape[3], x.shape[2])
+    np.testing.assert_array_equal(np.asarray(c_ds), np.asarray(jnp.swapaxes(c_ns, 2, 3)))
+    np.testing.assert_allclose(np.asarray(s_ds), np.asarray(s_ns), rtol=1e-6)
+
+
 def test_quant_int8_non_multiple_seq():
     x = _x(3, s=130)
     codes, scale = q_ops.quant_int8(x, gran="per_block", block=128)
