@@ -129,13 +129,15 @@ def lowbit_fa_qk_int8_pv_fp16(
     ``sageattn_qk_int8_pv_fp16_triton``/``_cuda``, src/core.py:194-352,
     495-731).
 
-    ``fuse_quant`` quantizes Q/K per-token INSIDE the attention kernel
-    (bit-identical to the external path) instead of running separate quant
-    kernels — the per-tile re-quantization costs little kernel time while
-    deleting two HBM round trips: measured 12.4 -> 9.1 ms from bf16 inputs
-    at b4 h32 s4096 hd64 (1.37x, PERFORMANCE.md). Default (None) enables it
-    automatically whenever it is exact: per-token granularity with the
-    pallas backend. Pass False to force the external quant kernels.
+    ``fuse_quant`` ∈ {None, True, "q", False}: True quantizes Q/K per-token
+    INSIDE the attention kernel (bit-identical to the external path),
+    deleting both quant HBM round trips — measured 12.4 -> 9.1 ms from bf16
+    inputs at b4 h32 s4096 hd64 (1.37x, PERFORMANCE.md). "q" is the HYBRID:
+    only Q is quantized in-kernel (~1% kernel cost) while K takes the
+    external O(S) quantizer with pre-transposed codes — the long-sequence
+    winner. None (default) picks True below s≈4k and "q" beyond, whenever
+    the config is exact (per-token granularity, pallas backend). False
+    forces both external quant kernels.
 
     ``pv_accum_dtype`` maps the reference's accumulation policies onto the
     MXU: TPU matmuls accumulate fp32 natively, so {"fp16", "fp16+fp32",
@@ -157,20 +159,31 @@ def lowbit_fa_qk_int8_pv_fp16(
     backend = "xla" if quantization_backend == "xla" else "pallas"
     km = quant_ops.k_mean(kp) if smooth_k else None
     if fuse_quant is None:
-        # Auto: on exactly when in-kernel quant reproduces the requested
-        # config bit-for-bit (per-token scales, pallas backend) AND wins on
-        # time. In-kernel quant adds a ~constant ~15% to the kernel, while
-        # the external quant kernels cost O(S) against the attention's
-        # O(S^2) — measured crossover on v5e is around s~6k (s4096: fused
-        # 9.1 ms vs external ~9.6; s17776: fused 43.4 vs external 40.3).
-        fuse_quant = (
-            backend == "pallas"
-            and _gran_block(qk_quant_gran, "q")[0] == "per_token"
-            and k.shape[2] <= 4096
-        )
-    if fuse_quant:
+        # Auto policy (per-token + pallas only — the configs in-kernel quant
+        # reproduces bit-for-bit). Full fusion ("both") re-quantizes the K
+        # tile on every (q_block, kv_block) visit — O(S^2) rework, ~15% on
+        # the kernel — but deletes both external HBM round trips, winning at
+        # short seq (s4096: fused 9.1 ms vs external ~9.6). The HYBRID mode
+        # ("q") quantizes only Q in-kernel (a ~1% [BQ, D] pass, since the
+        # K-side stays external O(S) with pre-transposed codes) and wins
+        # beyond the crossover (s17776: hybrid vs external 38.7 vs fused
+        # 43.4 — see PERFORMANCE.md).
+        if backend == "pallas" and _gran_block(qk_quant_gran, "q")[0] == "per_token":
+            fuse_quant = True if k.shape[2] <= 4096 else "q"
+        else:
+            fuse_quant = False
+    if fuse_quant is True:
         assert backend != "xla", "fuse_quant quantizes in-kernel"
         q_codes, q_scale, k_codes, k_scale = qp, None, kp, None
+    elif fuse_quant == "q":
+        assert _gran_block(qk_quant_gran, "q")[0] == "per_token", (
+            "hybrid fuse_quant='q' quantizes Q in-kernel at per-token granularity"
+        )
+        gk, bk = _gran_block(qk_quant_gran, "k")
+        q_codes, q_scale = qp, None
+        k_codes, k_scale = quant_ops.quant_int8(
+            kp, km, gran=gk, block=bk, backend=backend, layout="ds", interpret=interpret
+        )
     else:
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
@@ -198,9 +211,10 @@ def lowbit_fa_qk_int8_pv_fp16(
         v_in,
         q_scale,
         k_scale,
-        fused_quant=fuse_quant,
-        k_mean=km if fuse_quant else None,
-        k_transposed=not fuse_quant,
+        fused_quant=fuse_quant is True,
+        fused_quant_q=fuse_quant == "q",
+        k_mean=km if fuse_quant is True else None,
+        k_transposed=fuse_quant is not True,
         v_mean=v_mean,
         is_causal=is_causal,
         sm_scale=sm_scale,
@@ -314,12 +328,13 @@ def lowbit_fa_qk_int4_pv_fp16(
 
     km = quant_ops.k_mean(kp) if smooth_k else None
     if fuse_quant is None:
-        # Same auto rule as the int8 path (see its docstring note).
-        fuse_quant = (
-            _gran_block(qk_quant_gran, "q")[0] == "per_token"
-            and k.shape[2] <= 4096
-        )
-    if fuse_quant:
+        # Same auto rule as the int8 path (see its docstring note): full
+        # fusion below the crossover, hybrid Q-only fusion beyond it.
+        if _gran_block(qk_quant_gran, "q")[0] == "per_token":
+            fuse_quant = True if k.shape[2] <= 4096 else "q"
+        else:
+            fuse_quant = False
+    if fuse_quant is True:
         # In-kernel Q-int8 / K-int4 quantization: bit-identical values to
         # the packed external path (packing only changes storage), minus
         # the quant kernels' HBM round trips.
@@ -344,10 +359,13 @@ def lowbit_fa_qk_int4_pv_fp16(
             o, lse2 = out
             return _from_hnd(o[..., :d_og], tensor_layout), _finish_lse(lse2, qp, km, sm_scale)
         return _from_hnd(out[..., :d_og], tensor_layout)
-    gq, bq = _gran_block(qk_quant_gran, "q")
     gk, bk = _gran_block(qk_quant_gran, "k")
-    q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
     k_packed, k_scale = quant_ops.quant_int4(kp, km, gran=gk, block=bk, interpret=interpret)
+    if fuse_quant == "q":
+        q_codes, q_scale = qp, None  # Q quantized in-kernel (hybrid)
+    else:
+        gq, bq = _gran_block(qk_quant_gran, "q")
+        q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
 
     out = lowbit_attention(
         q_codes,
@@ -355,6 +373,7 @@ def lowbit_fa_qk_int4_pv_fp16(
         v,
         q_scale,
         k_scale,
+        fused_quant_q=fuse_quant == "q",
         is_causal=is_causal,
         sm_scale=sm_scale,
         k_packed_int4=True,
@@ -501,17 +520,27 @@ def lowbit_fa_varlen(
     qp, kp = _pad_head_dim(qh), _pad_head_dim(kh)
     km = quant_ops.k_mean(kp) if smooth_k else None
     if fuse_quant is None:
-        fuse_quant = (
-            _gran_block(qk_quant_gran, "q")[0] == "per_token"
-            and k.shape[0] <= 4096  # packed total tokens (same crossover)
-        )
-    if fuse_quant:
+        # Same auto rule as the dense int8 path: full fusion below the
+        # crossover (packed total tokens), hybrid Q-only fusion beyond.
+        if _gran_block(qk_quant_gran, "q")[0] == "per_token":
+            fuse_quant = True if k.shape[0] <= 4096 else "q"
+        else:
+            fuse_quant = False
+    if fuse_quant is True:
         q_codes, q_scale, k_codes, k_scale = qp, None, kp, None
+    elif fuse_quant == "q":
+        gk, bk = _gran_block(qk_quant_gran, "k")
+        q_codes, q_scale = qp, None
+        k_codes, k_scale = quant_ops.quant_int8(
+            kp, km, gran=gk, block=bk, layout="ds", interpret=interpret
+        )
     else:
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
         q_codes, q_scale = quant_ops.quant_int8(qp, gran=gq, block=bq, interpret=interpret)
-        k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
+        k_codes, k_scale = quant_ops.quant_int8(
+            kp, km, gran=gk, block=bk, layout="ds", interpret=interpret
+        )
 
     o = lowbit_attention(
         q_codes,
@@ -519,8 +548,10 @@ def lowbit_fa_varlen(
         vh,
         q_scale,
         k_scale,
-        fused_quant=fuse_quant,
-        k_mean=km if fuse_quant else None,
+        fused_quant=fuse_quant is True,
+        fused_quant_q=fuse_quant == "q",
+        k_transposed=fuse_quant is not True,
+        k_mean=km if fuse_quant is True else None,
         q_segment_ids=q_seg,
         kv_segment_ids=kv_seg,
         is_causal=is_causal,

@@ -120,6 +120,7 @@ def _attn_body(
     static_max: bool = False,
     quantized_qk: bool,
     fused_quant: bool = False,
+    fused_quant_q: bool = False,
     smooth_k_fused: bool = False,
     fused_k_qmax: float = 127.0,
     k_pack_bits: int,
@@ -142,6 +143,8 @@ def _attn_body(
     if fused_quant:
         if smooth_k_fused:
             km_ref = next(it)
+    elif fused_quant_q:
+        ks_ref = next(it)  # K externally quantized; Q quantized in-kernel
     elif quantized_qk:
         qs_ref = next(it)
         ks_ref = next(it)
@@ -165,6 +168,10 @@ def _attn_body(
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
+    q8_scr = qs_scr = None
+    if fused_quant or fused_quant_q:
+        q8_scr = next(it)
+        qs_scr = next(it)
 
     @pl.when(is_first)
     def _init():
@@ -172,6 +179,21 @@ def _attn_body(
             m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if fused_quant or fused_quant_q:
+            # Hoisted in-kernel Q quantization: the q tile is the same for
+            # every KV block of this grid row, so quantize ONCE per q-block
+            # into scratch instead of per (i, j) visit. Per-visit the ~7-op
+            # quant chain on [BQ, D] costs ~8% of the kernel's serial VPU
+            # path (measured: hybrid without hoisting 41.8 ms vs 38.7
+            # external at s17776); hoisted it is O(S) — noise. Math is
+            # identical to ops/quant.quant_int8(gran="per_token").
+            qf = q_ref[0, 0].astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-7
+            q8_scr[...] = jnp.clip(
+                jax.lax.round(qf / qa, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
+                -127.0, 127.0,
+            ).astype(jnp.int8)
+            qs_scr[...] = jnp.broadcast_to(qa * sm_scale_log2e, qs_scr.shape)
 
     if causal and not tri:
         # Rect fallback: skip blocks above the diagonal via predication.
@@ -186,20 +208,15 @@ def _attn_body(
         # feed runs ~40% faster than contracting dim 1 of a [BK, D] tile
         # (measured: int8 295 vs 210 TOPS, bf16 240 vs 152 TF at D=64).
         kt = k_ref[0, 0]
+        if fused_quant or fused_quant_q:
+            # Q codes/scale come from the hoisted per-q-block quant in _init.
+            q = q8_scr[...]
+            qs_tile = qs_scr[...][:, :1]  # [BQ, 1] (includes sm_scale*log2e)
         if fused_quant:
-            # In-kernel per-token INT8 quantization of the bf16 tiles: the
-            # tile re-quantization per (i, j) visit costs <1% kernel time
-            # (each [BQ,D]/[D,BK] VPU pass is 1/16 of a [BQ,BK] pass) but
-            # deletes the external quant kernels' HBM round trips — worth
-            # ~7% end-to-end (PERFORMANCE.md). Math is identical to
-            # ops/quant.quant_int8(gran="per_token"): abs-max/127 + EPS,
-            # round half away from zero.
-            qf = q.astype(jnp.float32)
-            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-7
-            q = jnp.clip(
-                jax.lax.round(qf / qa, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
-                -127.0, 127.0,
-            ).astype(jnp.int8)
+            # K tiles change every (i, j) visit, so K's in-kernel quant
+            # cannot be hoisted — this O(S^2) rework is the full-fused
+            # mode's ~8% kernel cost, paid to delete the external K quant
+            # kernel's HBM round trip (wins below the s~4k crossover).
             ktf = kt.astype(jnp.float32)  # [D, BK]
             if km_ref is not None:
                 ktf = ktf - km_ref[0, 0]  # smooth-K: km column [D, 1]
@@ -211,8 +228,12 @@ def _attn_body(
                 jax.lax.round(ktf / ka, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
                 -fused_k_qmax, fused_k_qmax,
             ).astype(jnp.int8)
-            qs_tile = qa * sm_scale_log2e  # [BQ, 1]
             ks_tile = ka  # [1, BK]
+        elif fused_quant_q:
+            # Hybrid: Q from scratch (above), K consumed as external codes —
+            # external K quant is O(S) with pre-transposed output, external
+            # Q quant's HBM round trip is deleted. The long-seq sweet spot.
+            ks_tile = ks_ref[0, 0]  # [1, BK]
         if k_pack_bits == 4:
             p32 = kt.astype(jnp.int32)
             lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
@@ -230,7 +251,7 @@ def _attn_body(
             s = jax.lax.dot_general(
                 q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
             ).astype(jnp.float32)
-            if fused_quant:
+            if fused_quant or fused_quant_q:
                 qs, ks = qs_tile, ks_tile
             else:
                 qs = qs_ref[0, 0]  # [BQ, 1] column (includes sm_scale*log2e)
@@ -361,6 +382,10 @@ def lowbit_attention(
     v_scale: Optional[jax.Array] = None,
     v_mean: Optional[jax.Array] = None,
     fused_quant: bool = False,
+    # Hybrid: Q (float) quantized in-kernel per-token, K consumed as external
+    # int8/int4 codes with ``k_scale``. The long-sequence sweet spot — see
+    # the kernel note.
+    fused_quant_q: bool = False,
     fused_k_bits: int = 8,
     k_mean: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
@@ -411,13 +436,17 @@ def lowbit_attention(
     else:
         _, h_kv, s_k, _ = k.shape
     d = v.shape[-1]
-    quantized_qk = q_scale is not None or fused_quant
+    quantized_qk = q_scale is not None or fused_quant or fused_quant_q
     if fused_quant:
         # In-kernel quantization consumes FLOAT q/k (see the kernel note);
         # ``k_mean`` [B,Hk,1,D] enables fused smooth-K.
         assert q_scale is None and k_scale is None, "fused_quant quantizes in-kernel"
         assert k_pack_bits == 8 and not k_packed_int4
         assert q.dtype != jnp.int8 and k.dtype != jnp.int8
+    if fused_quant_q:
+        assert not fused_quant
+        assert q_scale is None and k_scale is not None
+        assert q.dtype != jnp.int8 and k.dtype == jnp.int8
     if k_packed_int4:
         k_pack_bits = 4
     if sm_scale is None:
@@ -449,6 +478,7 @@ def lowbit_attention(
         static_max
         and quantized_qk
         and not fused_quant  # needs external codes for the CS bound
+        and not fused_quant_q
         and logit_cap == 0.0
         and not has_bias
         and k_pack_bits == 8
@@ -465,8 +495,9 @@ def lowbit_attention(
     # masked, and float-V edge garbage is zeroed in-kernel (mask_v_edge).
     # This deletes whole-tensor pad + slice HBM copies on every
     # non-block-multiple call (e.g. the 17776-token CogVideoX shape).
-    if quantized_qk and not fused_quant:
+    if quantized_qk and not fused_quant and not fused_quant_q:
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
+    if k_scale is not None:
         k_scale = k_scale.astype(jnp.float32)
 
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
@@ -517,6 +548,11 @@ def lowbit_attention(
                 pl.BlockSpec((1, 1, d_q, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM)
             )
             args.append(km_t)
+    elif fused_quant_q:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM)
+        )
+        args.append(k_scale[:, :, None, :])
     elif quantized_qk:
         # q_scale as a column [B,H,Sq,1]; k_scale as a row [B,Hk,1,Sk].
         in_specs += [
@@ -590,6 +626,7 @@ def lowbit_attention(
         static_max=static_max,
         quantized_qk=quantized_qk,
         fused_quant=fused_quant,
+        fused_quant_q=fused_quant_q,
         smooth_k_fused=fused_quant and k_mean is not None,
         fused_k_qmax=127.0 if fused_k_bits == 8 else 7.0,
         k_pack_bits=k_pack_bits,
@@ -617,6 +654,12 @@ def lowbit_attention(
         pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
+    if fused_quant or fused_quant_q:
+        # Hoisted Q-quant scratch: codes + scale, written once per q-block.
+        scratch_shapes += [
+            pltpu.VMEM((block_q, d_q), jnp.int8),
+            pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
+        ]
     if tri:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

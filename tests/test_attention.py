@@ -247,6 +247,51 @@ class TestFusedQuant:
         np.testing.assert_array_equal(np.asarray(o_fus), np.asarray(o_ext))
 
 
+class TestHybridFusedQ:
+    """fuse_quant="q" (Q in-kernel, K external pre-transposed codes) must be
+    bit-identical to the fully external per-token path."""
+
+    def _setup(self):
+        ks = jax.random.split(jax.random.PRNGKey(23), 3)
+        q = jax.random.normal(ks[0], (2, 4, 300, 64), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (2, 4, 300, 64), jnp.bfloat16) + 0.5
+        v = jax.random.normal(ks[2], (2, 4, 300, 64), jnp.bfloat16)
+        return q, k, v
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_int8_matches_external(self, causal):
+        from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+
+        q, k, v = self._setup()
+        kw = dict(is_causal=causal, block_q=128, block_kv=128, return_lse=True)
+        o_ext, lse_ext = lowbit_fa_qk_int8_pv_fp16(q, k, v, fuse_quant=False, **kw)
+        o_hyb, lse_hyb = lowbit_fa_qk_int8_pv_fp16(q, k, v, fuse_quant="q", **kw)
+        np.testing.assert_array_equal(np.asarray(o_hyb), np.asarray(o_ext))
+        np.testing.assert_array_equal(np.asarray(lse_hyb), np.asarray(lse_ext))
+
+    def test_int4_matches_external(self):
+        from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int4_pv_fp16
+
+        q, k, v = self._setup()
+        kw = dict(block_q=128, block_kv=128)
+        o_ext = lowbit_fa_qk_int4_pv_fp16(q, k, v, fuse_quant=False, **kw)
+        o_hyb = lowbit_fa_qk_int4_pv_fp16(q, k, v, fuse_quant="q", **kw)
+        np.testing.assert_array_equal(np.asarray(o_hyb), np.asarray(o_ext))
+
+    def test_varlen_matches_external(self):
+        from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_varlen
+
+        ks = jax.random.split(jax.random.PRNGKey(24), 3)
+        t, h, d = 350, 4, 64
+        q = jax.random.normal(ks[0], (t, h, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (t, h, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (t, h, d), jnp.bfloat16)
+        cu = jnp.asarray([0, 120, 350], jnp.int32)
+        o_ext = lowbit_fa_varlen(q, k, v, cu, cu, is_causal=True, fuse_quant=False)
+        o_hyb = lowbit_fa_varlen(q, k, v, cu, cu, is_causal=True, fuse_quant="q")
+        np.testing.assert_array_equal(np.asarray(o_hyb), np.asarray(o_ext))
+
+
 def test_fused_int4_matches_packed_path():
     """lowbit_fa_qk_int4_pv_fp16's in-kernel K-int4 quant (fuse_quant) is
     bit-identical to the packed external path — packing only changes
