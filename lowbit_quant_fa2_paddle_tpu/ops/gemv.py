@@ -1,0 +1,339 @@
+"""Fused weight-quantized matmul (Pallas/TPU) — packed weights stay packed
+in HBM and are dequantized in VMEM, inside the kernel.
+
+TPU-native re-design of the reference's KIVI GEMV extension
+(``gemv_forward_cuda`` / ``gemv_forward_cuda_outer_dim``,
+src/triton/utils/quant/csrc/gemv_cuda.cu:60-565, and the Triton
+``gemv.py``/``matmul.py qbvm``): 4/2/8-bit grouped weight × activation
+matmul for weight-only-quantized serving layers. The host-level
+``ops/pack.quantized_matmul`` materializes the dequantized weight matrix in
+HBM and re-reads it (3 whole-W HBM passes); this kernel streams the PACKED
+bytes once — the memory-bound regime (decode GEMV) runs at the packed
+bandwidth.
+
+Layout choices (TPU-first, not the CUDA layout):
+
+* Weights ``[N, K]`` are packed along K with a **parts-of-K** scheme: byte
+  (4-bit) or int32-word lanes hold codes strided by ``K/per_word``, so each
+  extracted part is a CONTIGUOUS K-range and unpacking is shift/mask plus a
+  lane concat — no in-register interleave (same reasoning as the
+  halves-of-D attention pack, ops/quant.py).
+* Group (``group_size`` along K) asymmetric quantization ``w = c*s + m`` is
+  applied EXACTLY, split by linearity:
+      x @ W^T = sum_g s_g * (x_g . c_g)  +  sum_g m_g * sigma_g,
+  where ``sigma_g = sum_k x_gk`` — the mn term is a tiny ``[M,G] @ [G,N]``
+  MXU matmul OUTSIDE the kernel, and the kernel applies per-group scales by
+  accumulating one small dot per (part, group) tile. Zero-points therefore
+  cost one extra outer matmul instead of a per-element fma (contrast the
+  reference's int4 ``forward_merging`` which silently DROPS zero-points —
+  SURVEY "quirks").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
+from lowbit_quant_fa2_paddle_tpu.ops.reference import round_away
+
+
+# ---------------------------------------------------------------------------
+# Pack (parts-of-K)
+# ---------------------------------------------------------------------------
+
+
+def pack_weights(
+    w: jax.Array, *, group_size: int = 128, bits: int = 4
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Asymmetric group quantization of a dense ``[N, K]`` weight matrix,
+    packed parts-of-K into int8 (4/2-bit; 8-bit stays one code per byte).
+
+    Returns ``(packed int8 [N, K*bits/8], scale f32 [N, K/group_size],
+    mn f32 [N, K/group_size])`` with ``w ≈ code * scale + mn`` and unsigned
+    codes in ``[0, 2^bits)``.
+    """
+    assert bits in (2, 4, 8), bits
+    n, k = w.shape
+    assert k % group_size == 0, (k, group_size)
+    fpb = 8 // bits  # codes per byte
+    assert k % fpb == 0
+    wf = w.astype(jnp.float32).reshape(n, k // group_size, group_size)
+    mn = jnp.min(wf, axis=-1)
+    mx = jnp.max(wf, axis=-1)
+    scale = (mx - mn) / (2**bits - 1)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    codes = jnp.clip(
+        round_away((wf - mn[..., None]) / scale[..., None]), 0, 2**bits - 1
+    ).astype(jnp.int32)
+    codes = codes.reshape(n, k)
+    if fpb == 1:
+        packed = codes.astype(jnp.int8)
+    else:
+        kw = k // fpb  # bytes per row; part i holds codes [i*kw, (i+1)*kw)
+        parts = [codes[:, i * kw : (i + 1) * kw] for i in range(fpb)]
+        acc = parts[0]
+        for i in range(1, fpb):
+            acc = acc | (parts[i] << (i * bits))
+        packed = acc.astype(jnp.int8)
+    return packed, scale, mn
+
+
+def unpack_weights(packed: jax.Array, *, bits: int) -> jax.Array:
+    """Inverse of :func:`pack_weights` -> unsigned int32 codes ``[N, K]``."""
+    if bits == 8:
+        return packed.astype(jnp.int32) & 0xFF
+    fpb = 8 // bits
+    mask = (1 << bits) - 1
+    p = packed.astype(jnp.int32) & 0xFF  # zero-extend the byte
+    parts = [(p >> (i * bits)) & mask for i in range(fpb)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fused kernel
+# ---------------------------------------------------------------------------
+
+
+def pack_weights_per_channel(
+    w: jax.Array, *, bits: int = 8
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel quantization (the standard w8/w4 serving
+    config): ``w ≈ code * scale[n]``, signed codes, 4-bit nibble-packed
+    halves-of-K. Returns ``(packed int8 [N, K*bits/8], scale f32 [N])``."""
+    assert bits in (4, 8), bits
+    n, k = w.shape
+    qmax = 127.0 if bits == 8 else 7.0
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-1) / qmax + 1e-8  # [N]
+    codes = jnp.clip(round_away(wf / scale[:, None]), -qmax, qmax).astype(jnp.int32)
+    if bits == 8:
+        return codes.astype(jnp.int8), scale
+    # 4-bit codes are stored UNSIGNED (c + 7, in [0, 14]) so the matmul can
+    # route through the grouped engine's zero-extend unpack (w = c*s - 7s);
+    # signed nibble sign-extension measured ~3x slower there.
+    half = k // 2
+    lo = (codes[:, :half] + 7) & 0xF
+    hi = (codes[:, half:] + 7) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8), scale
+
+
+def _wq_pc_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, x_dtype, xs_ref=None):
+    """Per-channel path: codes feed the MXU with at most one unpack/cast —
+    no per-element dequant chain (the scale is a rank-1 epilogue)."""
+    w = w_ref[...]  # [BN, KB] int8
+    if bits == 4:
+        p32 = w.astype(jnp.int32)  # sign-extends
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+        hi = jax.lax.shift_right_arithmetic(p32, 4)
+        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)  # [BN, K]
+    if x_dtype == jnp.int8:
+        d = jax.lax.dot_general(
+            x_ref[...], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        d = d * xs_ref[...]  # [M, 1] per-token activation scale
+    else:
+        d = jax.lax.dot_general(
+            x_ref[...], w.astype(x_dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = (d * s_ref[0:1, :]).astype(o_ref.dtype)  # [1, BN] bcast
+
+
+def wq_matmul_per_channel(
+    x: jax.Array,
+    packed: jax.Array,
+    scale: jax.Array,
+    *,
+    bits: int = 8,
+    activation: str = "bf16",
+    block_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``x @ W^T`` with symmetric per-channel-quantized W
+    (:func:`pack_weights_per_channel`). ``activation="int8"`` additionally
+    quantizes x per token and runs the INT8 MXU dot (w8a8); ``"bf16"`` keeps
+    x as-is (w8a16 / w4a16)."""
+    if interpret is None:
+        interpret = default_interpret()
+    *lead, k = x.shape
+    n = packed.shape[0]
+    kb = packed.shape[1]
+    if bits == 4:
+        # Stored unsigned-biased (pack note); route through the grouped
+        # engine with one group per part: w = c*s + (-7s). ~3x faster than
+        # an in-kernel sign-extend chain (495 vs ~150 us at N11008 K4096).
+        kw = k // 2
+        sc = jnp.repeat(scale.astype(jnp.float32)[:, None], 2, axis=1)  # [N, 2]
+        mn = jnp.broadcast_to((-7.0 * scale.astype(jnp.float32))[:, None], (n, 2))
+        return wq_matmul_fused(
+            x, packed, sc, mn, bits=4, group_size=kw,
+            block_n=block_n, interpret=interpret,
+        )
+    assert bits == 8, bits  # bits=4 delegated above
+    m = 1
+    for s_ in lead:
+        m *= s_
+    xf = x.reshape(m, k)
+    bn = min(block_n, n)
+    while bn > 128 and bn * kb > 4 * 1024 * 1024:
+        bn //= 2
+    args = []
+    in_specs = []
+    if activation == "int8":
+        xs = jnp.max(jnp.abs(xf.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0 + 1e-8
+        xq = jnp.clip(round_away(xf.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
+        args += [xq, packed, scale.astype(jnp.float32)[None, :], xs]
+        in_specs += [
+            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        x_dtype = jnp.int8
+        kernel = functools.partial(_wq_pc_kernel_int8, bits=bits)
+    else:
+        x_dtype = jnp.bfloat16 if xf.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+        args += [xf.astype(x_dtype), packed, scale.astype(jnp.float32)[None, :]]
+        in_specs += [
+            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(_wq_pc_kernel, bits=bits, x_dtype=x_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(n, bn),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, n)
+
+
+def _wq_pc_kernel_int8(x_ref, w_ref, s_ref, xs_ref, o_ref, *, bits: int):
+    _wq_pc_kernel(x_ref, w_ref, s_ref, o_ref, bits=bits, x_dtype=jnp.int8, xs_ref=xs_ref)
+
+
+def _wq_kernel(
+    x_ref,  # [M, K] (VMEM-resident activations)
+    w_ref,  # [BN, KB] packed int8 row tile (full K)
+    s_ref,  # [BN, G] per-group scales (original group order, full lanes)
+    o_ref,  # [M, BN]
+    *,
+    bits: int,
+    kw: int,  # codes per part row (= K // fpb)
+    group_size: int,
+    x_dtype,
+):
+    # Single grid dim over N: the whole packed row tile is VMEM-resident, so
+    # every slice below is STATIC (dynamic lane picks don't lower in
+    # Mosaic), and each part needs exactly ONE big MXU dot — per-(part,
+    # group) dots at M≈8 were pipeline-latency-bound (measured 530 us for
+    # int4 at N=11008 K=4096 vs ~150 us this way).
+    w = w_ref[...].astype(jnp.int32) & 0xFF  # [BN, KB] zero-extended bytes
+    fpb = 8 // bits
+    mask = (1 << bits) - 1
+    acc = None
+    gs_per_part = kw // group_size
+    for i in range(fpb):
+        part = (w >> (i * bits)) & mask if fpb > 1 else w  # [BN, KB]
+        part = part.astype(jnp.float32)
+        # Fold the per-(n, group) scale into the codes (one VPU mul per
+        # code, [BN, 1] column broadcast over group lanes) so the whole
+        # part contracts in one dot.
+        scaled = []
+        for g in range(gs_per_part):
+            sg = s_ref[:, i * gs_per_part + g : i * gs_per_part + g + 1]  # [BN, 1] f32
+            # Scale in f32, THEN cast: a bf16*bf16 product would round the
+            # weight twice (~0.8% rel), swamping the int8 quant error.
+            scaled.append(
+                (part[:, g * group_size : (g + 1) * group_size] * sg).astype(x_dtype)
+            )
+        cs = jnp.concatenate(scaled, axis=1)  # [BN, kw]
+        xg = x_ref[:, i * kw : (i + 1) * kw]  # part i = K range [i*kw, (i+1)*kw)
+        d = jax.lax.dot_general(
+            xg, cs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [M, BN]
+        acc = d if acc is None else acc + d
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def wq_matmul_fused(
+    x: jax.Array,
+    packed: jax.Array,
+    scale: jax.Array,
+    mn: Optional[jax.Array] = None,
+    *,
+    bits: int = 4,
+    group_size: int = 128,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``x @ W^T`` with W stored packed (parts-of-K, :func:`pack_weights`).
+
+    ``x`` is ``[..., K]``; returns ``[..., N]``. The packed weight bytes are
+    streamed through VMEM exactly once; zero-points (``mn``) are applied via
+    the outer ``sigma @ mn^T`` identity (see module docstring).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    *lead, k = x.shape
+    n = packed.shape[0]
+    fpb = 8 // bits
+    kb = k // fpb  # packed bytes per row
+    kw = k // fpb  # codes per part (== kb)
+    m = 1
+    for s_ in lead:
+        m *= s_
+    xf = x.reshape(m, k)
+    assert packed.shape == (n, kb), (packed.shape, n, kb)
+    g_total = k // group_size
+    assert scale.shape == (n, g_total)
+
+    # Each part must cover whole groups (group_size | K/fpb). Grid has a
+    # single N dimension; the whole packed row tile sits in VMEM (see the
+    # kernel note). block_n shrinks to keep the tile + x under ~4 MB.
+    assert kw % group_size == 0, (kw, group_size)
+    bn = min(block_n, n)
+    while bn > 128 and bn * kb > 4 * 1024 * 1024:
+        bn //= 2
+
+    x_dtype = jnp.bfloat16 if xf.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(
+            _wq_kernel,
+            bits=bits,
+            kw=kw,
+            group_size=group_size,
+            x_dtype=x_dtype,
+        ),
+        grid=(cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+            # Per-group scales, original (= part-major) group order; full
+            # lane dim keeps the block legal and every kernel pick static.
+            pl.BlockSpec((bn, g_total), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xf.astype(x_dtype), packed, scale.astype(jnp.float32))
+
+    if mn is not None:
+        # Zero-point term: sum_g m_g * sigma_g, sigma = per-group sums of x.
+        sigma = xf.astype(jnp.float32).reshape(m, g_total, group_size).sum(-1)
+        out = (out.astype(jnp.float32) + sigma @ mn.T.astype(jnp.float32)).astype(x.dtype)
+    return out.reshape(*lead, n)

@@ -122,28 +122,49 @@ def quantized_matmul(
 
 class WQLinear:
     """Weight-quantized linear layer (reference ``qmodule.WQLinear``,
-    qmodule.py:6-159): functional holder of packed weights."""
+    qmodule.py:6-159): functional holder of packed weights.
 
-    def __init__(self, packed_w, scale, mn, bias, group_size: int, bits: int):
+    ``backend="fused"`` stores the parts-of-K byte layout and runs the
+    Pallas fused kernel (ops/gemv.py — packed bytes stream through VMEM
+    once); ``"host"`` keeps the KIVI int32-word layout with
+    unpack-then-MXU-matmul (the cache-interchange format)."""
+
+    def __init__(self, packed_w, scale, mn, bias, group_size: int, bits: int,
+                 backend: str = "host"):
         self.packed_w = packed_w
         self.scale = scale
         self.mn = mn
         self.bias = bias
         self.group_size = group_size
         self.bits = bits
+        self.backend = backend
 
     @classmethod
-    def from_dense(cls, w: jax.Array, bias=None, *, group_size: int = 128, bits: int = 4):
-        packed, scale, mn = quantize_and_pack_along_last_dim(
-            w, group_size=group_size, bits=bits
-        )
-        return cls(packed, scale, mn, bias, group_size, bits)
+    def from_dense(cls, w: jax.Array, bias=None, *, group_size: int = 128,
+                   bits: int = 4, backend: str = "host"):
+        if backend == "fused":
+            from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+            packed, scale, mn = gemv.pack_weights(w, group_size=group_size, bits=bits)
+        else:
+            packed, scale, mn = quantize_and_pack_along_last_dim(
+                w, group_size=group_size, bits=bits
+            )
+        return cls(packed, scale, mn, bias, group_size, bits, backend)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = quantized_matmul(
-            x, self.packed_w, self.scale, self.mn,
-            group_size=self.group_size, bits=self.bits,
-        )
+        if self.backend == "fused":
+            from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+            y = gemv.wq_matmul_fused(
+                x, self.packed_w, self.scale, self.mn,
+                bits=self.bits, group_size=self.group_size,
+            )
+        else:
+            y = quantized_matmul(
+                x, self.packed_w, self.scale, self.mn,
+                group_size=self.group_size, bits=self.bits,
+            )
         if self.bias is not None:
             y = y + self.bias
         return y

@@ -1,0 +1,78 @@
+"""Fused weight-quantized matmul (ops/gemv.py) vs dense/dequant oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowbit_quant_fa2_paddle_tpu.ops import gemv
+from lowbit_quant_fa2_paddle_tpu.ops import metrics
+
+
+def _wx(m=3, n=384, k=512, key=0):
+    w = jax.random.normal(jax.random.PRNGKey(key), (n, k), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(key + 1), (m, k), jnp.float32)
+    return w, x
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+@pytest.mark.parametrize("gs", [64, 128])
+def test_grouped_fused_matches_dequant_oracle(bits, gs):
+    w, x = _wx()
+    packed, scale, mn = gemv.pack_weights(w, group_size=gs, bits=bits)
+    codes = gemv.unpack_weights(packed, bits=bits)
+    assert int(jnp.min(codes)) >= 0 and int(jnp.max(codes)) < 2**bits
+    n, k = w.shape
+    w_dq = (
+        codes.astype(jnp.float32).reshape(n, k // gs, gs) * scale[..., None]
+        + mn[..., None]
+    ).reshape(n, k)
+    # pack→unpack must reconstruct the quantized weight (order preserved)
+    assert float(metrics.cosine_similarity(jnp.asarray(w_dq), w)) > {8: 0.9999, 4: 0.995, 2: 0.88}[bits]
+    y = gemv.wq_matmul_fused(x, packed, scale, mn, bits=bits, group_size=gs)
+    y_ref = x @ w_dq.T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-3, atol=2e-4)
+
+
+def test_grouped_fused_no_mn_is_scale_only():
+    w, x = _wx(key=3)
+    packed, scale, mn = gemv.pack_weights(w, group_size=128, bits=4)
+    codes = gemv.unpack_weights(packed, bits=4)
+    n, k = w.shape
+    w_s = (codes.astype(jnp.float32).reshape(n, k // 128, 128) * scale[..., None]).reshape(n, k)
+    y = gemv.wq_matmul_fused(x, packed, scale, None, bits=4, group_size=128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_s.T), rtol=2e-3, atol=2e-4)
+
+
+def test_grouped_fused_lead_dims_and_bf16():
+    w, _ = _wx(key=4)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 3, 512), jnp.bfloat16)
+    packed, scale, mn = gemv.pack_weights(w, group_size=128, bits=8)
+    y = gemv.wq_matmul_fused(x, packed, scale, mn, bits=8, group_size=128)
+    assert y.shape == (2, 3, 384) and y.dtype == jnp.bfloat16
+    ref = x.reshape(6, 512).astype(jnp.float32) @ w.T
+    assert float(metrics.cosine_similarity(y.reshape(6, 384), jnp.asarray(ref))) > 0.999
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("activation", ["bf16", "int8"])
+def test_per_channel_fast_path(bits, activation):
+    w, x = _wx(key=5)
+    packed, scale = gemv.pack_weights_per_channel(w, bits=bits)
+    y = gemv.wq_matmul_per_channel(x, packed, scale, bits=bits, activation=activation)
+    ref = x @ w.T
+    thresh = 0.999 if bits == 8 else 0.985
+    assert float(metrics.cosine_similarity(y, jnp.asarray(ref))) > thresh
+
+
+def test_wqlinear_fused_backend():
+    from lowbit_quant_fa2_paddle_tpu.ops.pack import WQLinear
+
+    w, x = _wx(m=4, key=6)
+    lin = WQLinear.from_dense(w, bias=jnp.ones((384,)), group_size=128, bits=4)
+    y_host = lin(x)
+    lin_f = WQLinear.from_dense(w, bias=jnp.ones((384,)), group_size=128, bits=4, backend="fused")
+    y_fused = lin_f(x)
+    np.testing.assert_allclose(
+        np.asarray(y_fused, np.float32), np.asarray(y_host, np.float32), rtol=3e-3, atol=3e-3
+    )
