@@ -30,6 +30,9 @@ def main():
     p.add_argument("--kv-heads", type=int, default=2)
     p.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
                    help="KV cache precision (4 = nibble-packed, quarter size)")
+    p.add_argument("--w-bits", type=int, default=0, choices=[0, 8, 4],
+                   help="weight precision (0 = dense; 8/4 = per-channel packed "
+                        "weights through the fused Pallas matmul, ops/gemv.py)")
     args = p.parse_args()
 
     cfg = llm.tiny_llm_config(
@@ -39,6 +42,10 @@ def main():
         kv_bits=args.kv_bits,
     )
     params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    w_note = "dense"
+    if args.w_bits:
+        params = llm.quantize_llm_params(params, bits=args.w_bits)
+        w_note = f"int{args.w_bits} per-channel (fused gemv)"
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (args.batch, args.prompt_len), 0, cfg.vocab
     )
@@ -49,13 +56,19 @@ def main():
     t_prefill = time.perf_counter() - t0
     token = jnp.argmax(logits[:, -1], axis=-1)
 
+    import functools
+
+    step = jax.jit(functools.partial(llm.llm_decode_step, cfg=cfg))
+    logits, caches = step(params, token, caches)  # compile outside the timing
+    token = jnp.argmax(logits, axis=-1)
+
     t0 = time.perf_counter()
     out = [token]
     for _ in range(args.new_tokens - 1):
-        logits, caches = llm.llm_decode_step(params, token, caches, cfg)
+        logits, caches = step(params, token, caches)
         token = jnp.argmax(logits, axis=-1)
         out.append(token)
-    jax.block_until_ready(token)
+    _ = int(token[0])  # value fetch: block_until_ready acks early on axon
     t_decode = time.perf_counter() - t0
 
     kv_bytes = sum(int(c["k"].size + c["v"].size) for c in caches)
@@ -65,7 +78,7 @@ def main():
         f"decode {args.new_tokens} tokens: {t_decode:.2f}s "
         f"({t_decode / args.new_tokens * 1e3:.1f} ms/tok incl host loop) | "
         f"int{args.kv_bits} KV cache {kv_bytes / 1e6:.1f} MB "
-        f"(bf16 would be {bf16_bytes / 1e6:.1f} MB)"
+        f"(bf16 would be {bf16_bytes / 1e6:.1f} MB) | weights: {w_note}"
     )
     print("generated token ids:", [int(t) for t in jnp.stack(out, 1)[0][:16]], "...")
 

@@ -38,6 +38,11 @@ class LLMConfig:
     # KV-cache precision: 8 (int8, the latency point) or 4 (nibble-packed
     # int4, quarter-size cache); see ops/decode.py + DECODE_TPU.json.
     kv_bits: int = 8
+    # Weight precision: None = dense bf16/f32; 8/4 = per-channel symmetric
+    # packed weights run through the fused Pallas matmul (ops/gemv.py;
+    # int8 measured 2.13x over dense at decode shapes, int4 1.56x at
+    # quarter memory). Apply with :func:`quantize_llm_params`.
+    w_bits: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -75,6 +80,58 @@ def init_llm_params(key: jax.Array, cfg: LLMConfig) -> Params:
         "blocks": [block(keys[1 + i]) for i in range(cfg.depth)],
         "ln_f": jnp.ones((cfg.dim,), dt),
     }
+
+
+_WQ_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WQWeight:
+    """Per-channel packed weight as a pytree node: arrays are leaves, the
+    bit width is STATIC aux data (so jitted model fns specialize on it)."""
+
+    packed: jax.Array
+    scale: jax.Array
+    bits: int
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), self.bits
+
+    @classmethod
+    def tree_unflatten(cls, bits, leaves):
+        return cls(leaves[0], leaves[1], bits)
+
+
+def quantize_llm_params(params: Params, *, bits: int = 8) -> Params:
+    """Replace every block's dense matrices with per-channel packed weights
+    (reference WQLinear role, qmodule.py:6-159; fused kernel ops/gemv.py).
+
+    Dense mats here are ``[in, out]`` used as ``x @ w``; gemv wants
+    ``W [N=out, K=in]`` with ``y = x @ W^T`` — i.e. ``w.T``."""
+    from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+    out = dict(params)
+    blocks = []
+    for blk in params["blocks"]:
+        nb = dict(blk)
+        for key in _WQ_KEYS:
+            packed, scale = gemv.pack_weights_per_channel(blk[key].T, bits=bits)
+            nb[key] = WQWeight(packed, scale, bits)
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
+
+
+def _mm(x: jax.Array, w, interpret=None) -> jax.Array:
+    """Dense or fused weight-quantized matmul, by weight type."""
+    if isinstance(w, WQWeight):
+        from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+        return gemv.wq_matmul_per_channel(
+            x, w.packed, w.scale, bits=w.bits, interpret=interpret
+        )
+    return x @ w
 
 
 def _rms_norm(x, w, eps=1e-6):
@@ -117,15 +174,15 @@ def llm_prefill(
     caches = []
     for blk in params["blocks"]:
         xa = _rms_norm(x, blk["ln1"])
-        q = (xa @ blk["wq"]).reshape(b, s, h, hd).swapaxes(1, 2)
-        k = (xa @ blk["wk"]).reshape(b, s, hk, hd).swapaxes(1, 2)
-        v = (xa @ blk["wv"]).reshape(b, s, hk, hd).swapaxes(1, 2)
+        q = _mm(xa, blk["wq"], interpret).reshape(b, s, h, hd).swapaxes(1, 2)
+        k = _mm(xa, blk["wk"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
+        v = _mm(xa, blk["wv"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         o = _attn_prefill(q, k, v, attn_impl, interpret)
-        x = x + (o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype) @ blk["wo"])
+        x = x + _mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = _rms_norm(x, blk["ln2"])
-        x = x + jax.nn.silu(xm @ blk["w1"]) @ blk["w2"]
+        x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
 
         # Build the layer's quantized cache from the prefill K/V.
         cache = dec.init_kv_cache(b, hk, cfg.max_seq, hd, bits=cfg.kv_bits)
@@ -159,9 +216,9 @@ def llm_decode_step(
     new_caches = []
     for blk, cache in zip(params["blocks"], caches):
         xa = _rms_norm(x, blk["ln1"])
-        q = (xa @ blk["wq"]).reshape(b, 1, h, hd).swapaxes(1, 2)
-        k = (xa @ blk["wk"]).reshape(b, 1, hk, hd).swapaxes(1, 2)
-        v = (xa @ blk["wv"]).reshape(b, 1, hk, hd).swapaxes(1, 2)
+        q = _mm(xa, blk["wq"], interpret).reshape(b, 1, h, hd).swapaxes(1, 2)
+        k = _mm(xa, blk["wk"], interpret).reshape(b, 1, hk, hd).swapaxes(1, 2)
+        v = _mm(xa, blk["wv"], interpret).reshape(b, 1, hk, hd).swapaxes(1, 2)
         q = _rope(q, pos, cfg.rope_theta)[:, :, 0]  # [B,H,D]
         k = _rope(k, pos, cfg.rope_theta)[:, :, 0]
         v = v[:, :, 0]
@@ -176,9 +233,9 @@ def llm_decode_step(
             kv_bits=cfg.kv_bits,
             interpret=interpret,
         )  # [B,H,D]
-        x = x + (o.reshape(b, 1, -1).astype(x.dtype) @ blk["wo"])
+        x = x + _mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)
         xm = _rms_norm(x, blk["ln2"])
-        x = x + jax.nn.silu(xm @ blk["w1"]) @ blk["w2"]
+        x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
         new_caches.append(cache)
     logits = _rms_norm(x[:, 0], params["ln_f"]) @ params["embed"].T
     return logits, new_caches
@@ -193,12 +250,16 @@ def generate(
     attn_impl: str = "int8",
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Greedy generation: int8 prefill + quantized-cache decode loop."""
+    """Greedy generation: int8 prefill + quantized-cache decode loop (the
+    decode step is jitted once; caches/params are pytrees)."""
     logits, caches = llm_prefill(params, prompt, cfg, attn_impl=attn_impl, interpret=interpret)
     token = jnp.argmax(logits[:, -1], axis=-1)
+    step = jax.jit(
+        functools.partial(llm_decode_step, cfg=cfg, interpret=interpret)
+    )
     out = [token]
     for _ in range(n_new - 1):
-        logits, caches = llm_decode_step(params, token, caches, cfg, interpret=interpret)
+        logits, caches = step(params, token, caches)
         token = jnp.argmax(logits, axis=-1)
         out.append(token)
     return jnp.stack(out, axis=1)

@@ -180,9 +180,15 @@ def wq_matmul_per_channel(
     for s_ in lead:
         m *= s_
     xf = x.reshape(m, k)
+    x_cast = jnp.bfloat16 if xf.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    xb = 1 if activation == "int8" else jnp.dtype(x_cast).itemsize
+    # VMEM budget: packed tile + the cast copy of it (xb bytes/code).
     bn = min(block_n, n)
-    while bn > 128 and bn * kb > 4 * 1024 * 1024:
+    while bn > 128 and bn * kb * (1 + xb) > 8 * 1024 * 1024:
         bn //= 2
+    bm = min(m, 256)  # tile M for prefill-sized activations
+    while bm > 8 and bm * k * xb > 2 * 1024 * 1024:
+        bm //= 2
     args = []
     in_specs = []
     if activation == "int8":
@@ -190,10 +196,10 @@ def wq_matmul_per_channel(
         xq = jnp.clip(round_away(xf.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
         args += [xq, packed, scale.astype(jnp.float32)[None, :], xs]
         in_specs += [
-            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda mi, ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda mi, ni: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM),
         ]
         x_dtype = jnp.int8
         kernel = functools.partial(_wq_pc_kernel_int8, bits=bits)
@@ -201,18 +207,18 @@ def wq_matmul_per_channel(
         x_dtype = jnp.bfloat16 if xf.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
         args += [xf.astype(x_dtype), packed, scale.astype(jnp.float32)[None, :]]
         in_specs += [
-            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda mi, ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda mi, ni: (0, ni), memory_space=pltpu.VMEM),
         ]
         kernel = functools.partial(_wq_pc_kernel, bits=bits, x_dtype=x_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(cdiv(n, bn),),
+        grid=(cdiv(m, bm), cdiv(n, bn)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
     return out.reshape(*lead, n)
@@ -303,11 +309,16 @@ def wq_matmul_fused(
     # single N dimension; the whole packed row tile sits in VMEM (see the
     # kernel note). block_n shrinks to keep the tile + x under ~4 MB.
     assert kw % group_size == 0, (kw, group_size)
-    bn = min(block_n, n)
-    while bn > 128 and bn * kb > 4 * 1024 * 1024:
-        bn //= 2
-
     x_dtype = jnp.bfloat16 if xf.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    xb = jnp.dtype(x_dtype).itemsize
+    # VMEM budget (scoped limit 16 MB): packed tile (1 B) + the f32 unpack
+    # and x_dtype scaled-codes intermediates (~4 + xb B per packed byte).
+    bn = min(block_n, n)
+    while bn > 128 and bn * kb * (5 + xb) > 8 * 1024 * 1024:
+        bn //= 2
+    bm = min(m, 256)  # tile M for prefill-sized activations
+    while bm > 8 and bm * k * xb > 2 * 1024 * 1024:
+        bm //= 2
     out = pl.pallas_call(
         functools.partial(
             _wq_kernel,
@@ -316,18 +327,18 @@ def wq_matmul_fused(
             group_size=group_size,
             x_dtype=x_dtype,
         ),
-        grid=(cdiv(n, bn),),
+        grid=(cdiv(m, bm), cdiv(n, bn)),
         in_specs=[
-            pl.BlockSpec((m, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, kb), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kb), lambda mi, ni: (ni, 0), memory_space=pltpu.VMEM),
             # Per-group scales, original (= part-major) group order; full
             # lane dim keeps the block legal and every kernel pick static.
-            pl.BlockSpec((bn, g_total), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, g_total), lambda mi, ni: (ni, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(xf.astype(x_dtype), packed, scale.astype(jnp.float32))

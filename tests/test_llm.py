@@ -56,3 +56,21 @@ def test_generate_int4_cache():
     cfg8 = llm.tiny_llm_config(max_seq=64, kv_bits=8)
     toks8 = llm.generate(params, prompt, 4, cfg8)
     assert float((toks == toks8).mean()) >= 0.75
+
+
+def test_quantized_weights_track_dense():
+    """Per-channel packed weights (fused gemv path) track the dense model."""
+    cfg, params, prompt = _setup()
+    lo_d, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    # per-channel int4 is the coarse/fast point (grouped gemv is the
+    # accuracy point); logits cos ~0.95 through this depth-2 model.
+    for bits, thresh in ((8, 0.999), (4, 0.93)):
+        qp = llm.quantize_llm_params(params, bits=bits)
+        lo_q, caches = llm.llm_prefill(qp, prompt, cfg, attn_impl="exact")
+        cos = jnp.sum(lo_q * lo_d) / (jnp.linalg.norm(lo_q) * jnp.linalg.norm(lo_d))
+        assert float(cos) > thresh, (bits, float(cos))
+        # decode step runs through the packed weights too
+        nxt = jnp.argmax(lo_q[:, -1], -1)
+        lo_dec, _ = llm.llm_decode_step(qp, nxt, caches, cfg)
+        assert lo_dec.shape == (2, cfg.vocab)
+        assert not bool(jnp.any(jnp.isnan(lo_dec)))
