@@ -72,6 +72,9 @@ def main():
     p.add_argument("--baseline", default=None,
                    help="baseline impl (default: exact; fp when --full-size "
                         "— exact attention would materialize a 37 GB logits tensor)")
+    p.add_argument("--w-bits", type=int, default=0, choices=[0, 8, 4],
+                   help="also run each impl with per-channel packed block "
+                        "weights (fused gemv) at this precision")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -92,17 +95,23 @@ def main():
     results = [{"impl": baseline_impl, "seconds": round(t_base, 3), "frame_mse": 0.0}]
     print(json.dumps(results[0]), flush=True)
 
+    run_params = [("", params)]
+    if args.w_bits:
+        run_params.append(
+            (f"+w{args.w_bits}", dit.quantize_dit_params(params, bits=args.w_bits))
+        )
     for impl in args.impl:
-        out, t = generate_latents(params, cfg, impl, args.steps, seq, key,
-                                  scan_blocks=args.full_size)
-        row = {
-            "impl": impl,
-            "seconds": round(t, 3),
-            "frame_mse": frame_loss(out, baseline),
-            "cos": round(float(cosine_similarity(out, baseline)), 6),
-        }
-        results.append(row)
-        print(json.dumps(row), flush=True)
+        for suffix, prm in run_params:
+            out, t = generate_latents(prm, cfg, impl, args.steps, seq, key,
+                                      scan_blocks=args.full_size)
+            row = {
+                "impl": impl + suffix,
+                "seconds": round(t, 3),
+                "frame_mse": frame_loss(out, baseline),
+                "cos": round(float(cosine_similarity(out, baseline)), 6),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
 
     if args.output:
         with open(args.output, "w") as f:

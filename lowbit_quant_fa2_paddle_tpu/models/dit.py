@@ -125,7 +125,34 @@ def init_dit_params(key: jax.Array, cfg: DiTConfig, *, zero_ada: bool = False) -
 # ---------------------------------------------------------------------------
 
 
+_WQ_DIT_KEYS = ("qkv", "proj", "mlp_in", "mlp_out")
+
+
+def quantize_dit_params(params: Params, *, bits: int = 8) -> Params:
+    """Per-channel packed weights for every block dense layer (qkv / proj /
+    mlp_in / mlp_out) through the fused gemv kernel — the weight-serving
+    counterpart of the quantized attention path. The adaLN modulation,
+    t_embed, and final head stay dense (tiny and conditioning-critical)."""
+    from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+    out = dict(params)
+    blocks = []
+    for blk in params["blocks"]:
+        nb = dict(blk)
+        for key in _WQ_DIT_KEYS:
+            packed, scale = gemv.pack_weights_per_channel(blk[key]["w"].T, bits=bits)
+            nb[key] = {"wq": gemv.WQWeight(packed, scale, bits), "b": blk[key]["b"]}
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
+
+
 def _dense(p, x):
+    if "wq" in p:
+        from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+        wq = p["wq"]
+        return gemv.wq_matmul_per_channel(x, wq.packed, wq.scale, bits=wq.bits) + p["b"]
     return x @ p["w"] + p["b"]
 
 

@@ -85,22 +85,7 @@ def init_llm_params(key: jax.Array, cfg: LLMConfig) -> Params:
 _WQ_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2")
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class WQWeight:
-    """Per-channel packed weight as a pytree node: arrays are leaves, the
-    bit width is STATIC aux data (so jitted model fns specialize on it)."""
-
-    packed: jax.Array
-    scale: jax.Array
-    bits: int
-
-    def tree_flatten(self):
-        return (self.packed, self.scale), self.bits
-
-    @classmethod
-    def tree_unflatten(cls, bits, leaves):
-        return cls(leaves[0], leaves[1], bits)
+from lowbit_quant_fa2_paddle_tpu.ops.gemv import WQWeight  # noqa: E402
 
 
 def quantize_llm_params(params: Params, *, bits: int = 8) -> Params:

@@ -65,6 +65,29 @@ def test_per_channel_fast_path(bits, activation):
     assert float(metrics.cosine_similarity(y, jnp.asarray(ref))) > thresh
 
 
+def test_large_m_routes_to_dense_and_matches():
+    """m >= 1024 takes the dequant-once + dense-MXU route; results must
+    agree with the streaming kernel's math."""
+    w, _ = _wx(key=8, n=256, k=256)
+    x_small = jax.random.normal(jax.random.PRNGKey(10), (4, 256), jnp.float32)
+    x_big = jnp.tile(x_small, (256, 1))  # 1024 rows, rows 0-3 repeated
+    # grouped
+    p, s, mn = gemv.pack_weights(w, group_size=128, bits=4)
+    y_small = gemv.wq_matmul_fused(x_small, p, s, mn, bits=4, group_size=128)
+    y_big = gemv.wq_matmul_fused(x_big, p, s, mn, bits=4, group_size=128)
+    np.testing.assert_allclose(
+        np.asarray(y_big[:4]), np.asarray(y_small), rtol=3e-3, atol=3e-3
+    )
+    # per-channel (both bit widths; 4-bit checks the unsigned-bias unpack)
+    for bits in (8, 4):
+        pc, sc = gemv.pack_weights_per_channel(w, bits=bits)
+        y_small = gemv.wq_matmul_per_channel(x_small, pc, sc, bits=bits)
+        y_big = gemv.wq_matmul_per_channel(x_big, pc, sc, bits=bits)
+        np.testing.assert_allclose(
+            np.asarray(y_big[:4]), np.asarray(y_small), rtol=3e-3, atol=3e-3
+        )
+
+
 def test_wqlinear_fused_backend():
     from lowbit_quant_fa2_paddle_tpu.ops.pack import WQLinear
 

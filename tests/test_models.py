@@ -32,6 +32,22 @@ def test_dit_quantized_matches_exact():
         assert cos > 0.98, (impl, cos)
 
 
+def test_dit_quantized_weights_track_dense():
+    """Per-channel packed block weights (fused gemv) track the dense model,
+    including under the scanned-blocks path (stacked WQWeight pytree)."""
+    cfg, params, x, t = _setup()
+    o_d = dit.dit_forward(params, x, t, cfg, attn_impl="exact")
+    for bits, thresh in ((8, 0.999), (4, 0.95)):
+        qp = dit.quantize_dit_params(params, bits=bits)
+        o_q = dit.dit_forward(qp, x, t, cfg, attn_impl="exact")
+        cos = float(metrics.cosine_similarity(o_q, o_d))
+        assert cos > thresh, (bits, cos)
+    qp = dit.quantize_dit_params(params, bits=8)
+    o_scan = dit.dit_forward(qp, x, t, cfg, attn_impl="exact", scan_blocks=True)
+    cos = float(metrics.cosine_similarity(o_scan, o_d))
+    assert cos > 0.999, cos
+
+
 def test_dit_train_step_reduces_loss():
     cfg, params, x, t = _setup(s=64)
     key = jax.random.PRNGKey(3)
