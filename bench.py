@@ -40,10 +40,13 @@ def main():
 
     quant = jax.jit(lambda x: q_ops.quant_int8(x, gran="per_token"))
     q_codes, q_scale = jax.block_until_ready(quant(q))
-    k_codes, k_scale = jax.block_until_ready(quant(k))
+    # K codes pre-transposed [B,H,D,S] straight from the quant kernel (the
+    # production layout) — the attention call then has no XLA transpose.
+    quant_t = jax.jit(lambda x: q_ops.quant_int8(x, gran="per_token", layout="ds"))
+    k_codes, k_scale = jax.block_until_ready(quant_t(k))
 
     attn_int8 = jax.jit(
-        lambda qc, kc, v, qs, ksc: lowbit_attention(qc, kc, v, qs, ksc)
+        lambda qc, kc, v, qs, ksc: lowbit_attention(qc, kc, v, qs, ksc, k_transposed=True)
     )
     attn_fp = jax.jit(lambda q, k, v: flash_attention_fp(q, k, v))
 
