@@ -85,15 +85,16 @@ def _unpack_int2_quarters(packed: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=-1).astype(jnp.int8)
 
 
-def _attn_kernel_rect(*refs, **params):
+def _attn_kernel_rect(*refs, k_major: bool = False, **params):
     """Rectangular grid (b, h, nq, nk): the non-causal schedule."""
     i = pl.program_id(2)
     j = pl.program_id(3)
     nk = pl.num_programs(3)
-    _attn_body(i, j, j == 0, j == nk - 1, refs, **params)
+    body = _attn_body_km if k_major else _attn_body
+    body(i, j, j == 0, j == nk - 1, refs, **params)
 
 
-def _attn_kernel_tri(i_tbl, j_tbl, last_tbl, *refs, **params):
+def _attn_kernel_tri(i_tbl, j_tbl, last_tbl, *refs, k_major: bool = False, **params):
     """Triangular grid for causal: grid dim 2 walks scalar-prefetched
     (i, j) tables covering ONLY at-or-below-diagonal blocks, so causal runs
     ~half the DMA and grid steps of the rectangular schedule (true block
@@ -102,7 +103,181 @@ def _attn_kernel_tri(i_tbl, j_tbl, last_tbl, *refs, **params):
     t = pl.program_id(2)
     i = i_tbl[t]
     j = j_tbl[t]
-    _attn_body(i, j, j == 0, last_tbl[t] == 1, refs, **params)
+    body = _attn_body_km if k_major else _attn_body
+    body(i, j, j == 0, last_tbl[t] == 1, refs, **params)
+
+
+def _attn_body_km(
+    i,
+    j,
+    is_first,
+    is_last,
+    refs,
+    *,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    causal: bool,
+    quantized_qk: bool,
+    k_pack_bits: int,
+    v_quantized: bool,
+    smooth_v: bool,
+    has_segments: bool,
+    has_bias: bool,
+    logit_cap: float,
+    sm_scale_log2e: float,
+    pv_dtype,
+    mask_v_edge: bool = False,
+    **_unused,
+):
+    """K-major (transposed-space) block: the hd64 performance schedule.
+
+    The Q-major block is bound by its serial VPU softmax chain plus a PV dot
+    whose N = head_dim = 64 output uses half the MXU lanes (PERFORMANCE.md
+    ablations). Transposing the whole block fixes both ends at once:
+
+      s^T = K[BK,D] @ Q^T[D,BQ]   — K in NATURAL layout (no transpose pass
+                                    anywhere); Q^T codes come straight from
+                                    ``quant_int8(layout="ds")``;
+      m/l = reduce over axis 0    — the softmax max/sum run in the SUBLANE
+                                    direction (elementwise vreg ops), not as
+                                    cross-lane shuffle reductions;
+      o^T += V^T[D,BK] @ P^T[BK,BQ] — N = BQ (full 128 output lanes; the
+                                    Q-major PV at N=64 runs at half rate).
+
+    Output is O^T ``[B,H,D,S]``; model consumers fold the transpose into the
+    next matmul's dimension numbers (free on the MXU), drop-in callers pay one
+    XLA transpose. Measured (b4 h32 hd64 s4096, int8): 84.8 vs 68.9 TF
+    Q-major — 1.23x, bit-identical output. Role of the reference kernels'
+    layout tricks (csrc/qattn/permuted_smem.cuh swizzles): get the data the
+    shape the matrix unit wants, here at block rather than smem granularity.
+    """
+    it = iter(refs)
+    q_ref = next(it)  # [D(, /pack on q? no — q never packed), BQ]
+    k_ref = next(it)  # [BK, Dk] natural
+    v_ref = next(it)  # [D, BK] transposed
+    qs_ref = ks_ref = None
+    if quantized_qk:
+        qs_ref = next(it)  # [1, BQ] row
+        ks_ref = next(it)  # [BK, 1] column
+    vs_ref = vm_ref = None
+    if v_quantized:
+        vs_ref = next(it)  # [D, 1] column
+    if smooth_v:
+        vm_ref = next(it)  # [D, 1] column
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref = next(it)  # [1, BQ] row
+        kseg_ref = next(it)  # [BK, 1] column
+    bias_ref = None
+    if has_bias:
+        bias_ref = next(it)  # [BK, BQ] tile or [BK, 1] column (per-key)
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)  # [SUB, BQ] rows (replicated over sublanes)
+    l_scr = next(it)
+    acc_scr = next(it)  # [D, BQ]
+
+    @pl.when(is_first)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        should_run = j * block_kv <= i * block_q + block_q - 1
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        qT = q_ref[0, 0]  # [D, BQ]
+        k = k_ref[0, 0]   # [BK, Dk]
+        if k_pack_bits == 4:
+            # K natural [BK, D/2]: halves-of-D nibble unpack along the lane
+            # (feature) axis — the same scheme as ops/quant nibble packing.
+            p32 = k.astype(jnp.int32)
+            lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+            hi = jax.lax.shift_right_arithmetic(p32, 4)
+            k = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+        elif k_pack_bits == 2:
+            p32 = k.astype(jnp.int32)
+            parts = [
+                jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * n), 30)
+                for n in range(4)
+            ]
+            k = jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+
+        if quantized_qk:
+            sT = jax.lax.dot_general(
+                k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            sT = sT * ks_ref[0, 0] * qs_ref[0, 0]
+        else:
+            sT = jax.lax.dot_general(
+                k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            sT = sT * sm_scale_log2e
+
+        if has_bias:
+            b_t = bias_ref[0, 0]
+            sT = sT + b_t  # pre-scaled to base-2 by the launcher
+        if logit_cap > 0.0:
+            c2 = logit_cap * LOG2E
+            sT = c2 * jnp.tanh(sT / c2)
+
+        mask = None
+        if causal:
+            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
+            mask = kvrow <= qcol
+        if kv_len % block_kv != 0:
+            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+            inb = kvrow < kv_len
+            mask = inb if mask is None else jnp.logical_and(mask, inb)
+        if has_segments:
+            seg = kseg_ref[0] == qseg_ref[0]  # [BK,1] vs [1,BQ]
+            mask = seg if mask is None else jnp.logical_and(mask, seg)
+        if mask is not None:
+            sT = jnp.where(mask, sT, MASK_VALUE)
+
+        bf16_softmax = pv_dtype == jnp.bfloat16
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(sT, axis=0, keepdims=True)  # sublane reduce [1, BQ]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        shifted = sT - m_next[:1]
+        pT = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
+        l_curr = jnp.sum(pT, axis=0, keepdims=True, dtype=jnp.float32)
+        l_scr[...] = alpha * l_prev + l_curr
+        m_scr[...] = m_next
+
+        vT = v_ref[0, 0]  # [D, BK]
+        if mask_v_edge:
+            cols_left = kv_len - j * block_kv
+            vcol = jax.lax.broadcasted_iota(jnp.int32, vT.shape, 1)
+            vT = jnp.where(vcol < cols_left, vT, 0)
+        pv = jax.lax.dot_general(
+            vT.astype(pv_dtype),
+            pT.astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:1] + pv
+
+    @pl.when(is_last)
+    def _finalize():
+        l = l_scr[...][:1]  # [1, BQ]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = acc_scr[...] / l_safe
+        if v_quantized:
+            o = o * vs_ref[0, 0]  # [D, 1] column scale
+        if smooth_v:
+            o = o + vm_ref[0, 0]
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+        m = m_scr[...][:1]
+        lse_ref[0, 0] = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # [1, BQ]
 
 
 def _attn_body(
@@ -696,6 +871,211 @@ def lowbit_attention(
     if return_lse:
         return o, lse2[:, :, :, 0]
     return o
+
+
+def lowbit_attention_km(
+    qT: jax.Array,
+    k: jax.Array,
+    vT: jax.Array,
+    q_scale: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    *,
+    v_scale: Optional[jax.Array] = None,
+    v_mean: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    k_packed_int4: bool = False,
+    k_pack_bits: int = 8,
+    logit_cap: float = 0.0,
+    pv_dtype=jnp.bfloat16,
+    block_q: int = 2048,
+    block_kv: int = 512,
+    out_dtype=None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """K-major (transposed-space) attention — the hd64 fast path.
+
+    See ``_attn_body_km`` for the schedule rationale (full-lane PV, sublane
+    softmax reductions; 1.23x over the Q-major kernel at b4h32 s4096 hd64,
+    bit-identical output).
+
+    Layouts (all "transposed" relative to ``lowbit_attention``):
+      qT: ``[B, H, D, Sq]`` int8 codes (straight from
+          ``quant_int8(layout="ds")``) or float.
+      k:  ``[B, Hk, Sk, Dk]`` — NATURAL layout (no transpose pass anywhere);
+          ``Dk = D/2`` when ``k_packed_int4``.
+      vT: ``[B, Hk, D, Sk]`` float, or int8 with per-channel ``v_scale``
+          (+ optional ``v_mean``) ``[B, Hk, D]``.
+      Returns O^T ``[B, H, D, Sq]`` (+ base-2 LSE ``[B, H, Sq]``). Model
+      consumers fold O^T into the next matmul's dimension numbers; drop-in
+      wrappers transpose once.
+    """
+    b, h, d, s_q = qT.shape
+    _, h_kv, s_k, d_k = k.shape
+    quantized_qk = q_scale is not None
+    if k_packed_int4:
+        k_pack_bits = 4
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = default_interpret()
+    if out_dtype is None:
+        out_dtype = jnp.bfloat16 if quantized_qk or vT.dtype == jnp.int8 else vT.dtype
+    assert h % h_kv == 0
+    group = h // h_kv
+    v_quantized = vT.dtype == jnp.int8
+    smooth_v = v_mean is not None
+    has_segments = q_segment_ids is not None
+    has_bias = bias is not None
+
+    block_q = min(block_q, max(128, s_q))
+    block_kv = min(block_kv, max(128, s_k))
+
+    if quantized_qk:
+        q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
+        k_scale = k_scale.astype(jnp.float32)
+
+    nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
+    mask_v_edge = s_k % block_kv != 0 and vT.dtype != jnp.int8
+    tri = bool(is_causal) and nq > 1
+    if tri:
+        import numpy as np
+
+        i_list, j_list, last_list = [], [], []
+        for qi in range(nq):
+            j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
+            for ki in range(j_max):
+                i_list.append(qi)
+                j_list.append(ki)
+                last_list.append(1 if ki == j_max - 1 else 0)
+        i_tbl = jnp.asarray(np.array(i_list, np.int32))
+        j_tbl = jnp.asarray(np.array(j_list, np.int32))
+        last_tbl = jnp.asarray(np.array(last_list, np.int32))
+        grid = (b, h, len(i_list))
+
+        def IM(f):
+            return lambda bi, hi, ti, itb, jtb, ltb: f(bi, hi, itb[ti], jtb[ti])
+    else:
+        grid = (b, h, nq, nk_blocks)
+
+        def IM(f):
+            return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, d, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, d_k), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, k, vT]
+    if quantized_qk:
+        # q_scale as a ROW [B,H,1,Sq]; k_scale as a COLUMN [B,Hk,Sk,1].
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
+        ]
+        args += [q_scale[:, :, None, :], k_scale[..., None]]
+    if v_quantized:
+        assert v_scale is not None
+        in_specs.append(pl.BlockSpec((1, 1, d, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
+        args.append(v_scale.astype(jnp.float32)[..., None])
+    if smooth_v:
+        in_specs.append(pl.BlockSpec((1, 1, d, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, 0)), memory_space=pltpu.VMEM))
+        args.append(v_mean.astype(jnp.float32)[..., None])
+    if has_segments:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q), IM(lambda bi, hi, qi, ki: (bi, 0, qi)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, 1), IM(lambda bi, hi, qi, ki: (bi, ki, 0)), memory_space=pltpu.VMEM),
+        ]
+        args += [
+            q_segment_ids.astype(jnp.int32)[:, None, :],
+            kv_segment_ids.astype(jnp.int32)[:, :, None],
+        ]
+    if has_bias:
+        bias = bias.astype(jnp.float32) * LOG2E
+        if bias.shape[2] == 1:  # per-key vector [B,H,1,Sk] -> column
+            bias_t = jnp.swapaxes(bias, 2, 3)
+            in_specs.append(pl.BlockSpec((1, 1, block_kv, 1), IM(lambda bi, hi, qi, ki: (bi, hi, ki, 0)), memory_space=pltpu.VMEM))
+        else:  # full matrix -> [B,H,Sk,Sq]
+            bias_t = jnp.swapaxes(bias, 2, 3)
+            in_specs.append(pl.BlockSpec((1, 1, block_kv, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, ki, qi)), memory_space=pltpu.VMEM))
+        args.append(bias_t)
+
+    out_specs = [
+        pl.BlockSpec((1, 1, d, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, d, s_q), out_dtype),
+        jax.ShapeDtypeStruct((b, h, 1, s_q), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((8, block_q), jnp.float32),
+        pltpu.VMEM((8, block_q), jnp.float32),
+        pltpu.VMEM((d, block_q), jnp.float32),
+    ]
+    params = dict(
+        k_major=True,
+        kv_len=s_k,
+        block_q=block_q,
+        block_kv=block_kv,
+        causal=is_causal,
+        quantized_qk=quantized_qk,
+        k_pack_bits=k_pack_bits,
+        v_quantized=v_quantized,
+        smooth_v=smooth_v,
+        has_segments=has_segments,
+        has_bias=has_bias,
+        logit_cap=float(logit_cap),
+        sm_scale_log2e=float(sm_scale) * LOG2E,
+        pv_dtype=pv_dtype,
+        mask_v_edge=mask_v_edge,
+    )
+    flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
+    cost = pl.CostEstimate(
+        flops=int(flops),
+        bytes_accessed=int(qT.size * qT.dtype.itemsize + k.size + vT.size * vT.dtype.itemsize),
+        transcendentals=int(b * h * nq * block_q * nk_blocks * block_kv),
+    )
+    if tri:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        oT, lse2 = pl.pallas_call(
+            functools.partial(_attn_kernel_tri, **params),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(i_tbl, j_tbl, last_tbl, *args)
+    else:
+        oT, lse2 = pl.pallas_call(
+            functools.partial(_attn_kernel_rect, **params),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+
+    if return_lse:
+        return oT, lse2[:, :, 0, :]
+    return oT
 
 
 def flash_attention_fp(
