@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.ops import quant as q_ops
-from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp, lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp, lowbit_attention_km
 from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
 from lowbit_quant_fa2_paddle_tpu.utils.benchmark import (
     attention_flops,
@@ -38,28 +38,31 @@ def main():
     k = jax.random.normal(ks[1], (B, H, S, D), jnp.bfloat16)
     v = jax.random.normal(ks[2], (B, H, S, D), jnp.bfloat16)
 
-    quant = jax.jit(lambda x: q_ops.quant_int8(x, gran="per_token"))
-    q_codes, q_scale = jax.block_until_ready(quant(q))
-    # K codes pre-transposed [B,H,D,S] straight from the quant kernel (the
-    # production layout) — the attention call then has no XLA transpose.
+    # Production layout for the K-major kernel: Q^T codes [B,H,D,S] straight
+    # from the quant kernel's in-VMEM relayout, K codes in NATURAL layout
+    # (K-major needs no K transpose at all), V transposed once.
     quant_t = jax.jit(lambda x: q_ops.quant_int8(x, gran="per_token", layout="ds"))
-    k_codes, k_scale = jax.block_until_ready(quant_t(k))
+    qT_codes, q_scale = jax.block_until_ready(quant_t(q))
+    quant = jax.jit(lambda x: q_ops.quant_int8(x, gran="per_token"))
+    k_codes, k_scale = jax.block_until_ready(quant(k))
+    vT = jax.block_until_ready(jnp.swapaxes(v, 2, 3))
 
     attn_int8 = jax.jit(
-        lambda qc, kc, v, qs, ksc: lowbit_attention(qc, kc, v, qs, ksc, k_transposed=True)
+        lambda qc, kc, vt, qs, ksc: lowbit_attention_km(qc, kc, vt, qs, ksc)
     )
     attn_fp = jax.jit(lambda q, k, v: flash_attention_fp(q, k, v))
 
     flops = attention_flops(B, H, D, S, S, causal=False)
-    # feedback: the attention output [B,H,S,D] bf16 feeds the next call's V.
-    t_int8 = measure_op_time(attn_int8, (q_codes, k_codes, v, q_scale, k_scale), feedback=2)
+    # feedback: the attention output O^T [B,H,D,S] bf16 feeds the next call's
+    # V^T input directly — the K-major kernel's natural chaining.
+    t_int8 = measure_op_time(attn_int8, (qT_codes, k_codes, vT, q_scale, k_scale), feedback=2)
     tflops_int8 = tflops(flops, t_int8)
     t_fp = measure_op_time(attn_fp, (q, k, v), feedback=2)
     tflops_fp = tflops(flops, t_fp)
 
     # Accuracy vs the fp kernel (the exact oracle would materialize an
     # [B,H,S,S] logits tensor — 8.6 GB at this config).
-    o = attn_int8(q_codes, k_codes, v, q_scale, k_scale)
+    o = jnp.swapaxes(attn_int8(qT_codes, k_codes, vT, q_scale, k_scale), 2, 3)
     cos = float(cosine_similarity(o, attn_fp(q, k, v)))
 
     print(

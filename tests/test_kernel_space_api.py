@@ -1,0 +1,111 @@
+"""kernel_space routing on the public API wrappers.
+
+Every dense wrapper (and varlen) defaults to the K-major kernel
+(kernel_space="auto" == "k"); "q" keeps the Q-major kernel. Both spaces run
+the same online-softmax math on the same quant codes, so outputs must agree
+to accumulation-order noise, and both must track the exact fp32 oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lowbit_quant_fa2_paddle_tpu as lq
+from lowbit_quant_fa2_paddle_tpu.ops import metrics
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+
+def _qkv(key=0, b=2, h=4, s=300, d=64, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    return tuple(jax.random.normal(kk, (b, h, s, d), dtype) for kk in ks)
+
+
+def _cos(a, b):
+    return float(metrics.cosine_similarity(a, b))
+
+
+WRAPPERS = {
+    "int8": (lq.lowbit_fa_qk_int8_pv_fp16, 0.9999),
+    "int8_v8": (lq.lowbit_fa_qk_int8_pv_int8, 0.9995),
+    "int4": (lq.lowbit_fa_qk_int4_pv_fp16, 0.999),
+}
+
+
+@pytest.mark.parametrize("name", list(WRAPPERS))
+@pytest.mark.parametrize("causal", [False, True])
+def test_k_space_matches_q_space(name, causal):
+    fn, tol = WRAPPERS[name]
+    q, k, v = _qkv()
+    ok = fn(q, k, v, is_causal=causal, kernel_space="k")
+    oq = fn(q, k, v, is_causal=causal, kernel_space="q")
+    assert ok.shape == oq.shape == q.shape
+    assert _cos(ok, oq) > tol
+
+
+@pytest.mark.parametrize("name", list(WRAPPERS))
+def test_default_is_k_space_and_tracks_oracle(name):
+    fn, _ = WRAPPERS[name]
+    q, k, v = _qkv(key=1)
+    o_auto = fn(q, k, v, is_causal=True)
+    o_k = fn(q, k, v, is_causal=True, kernel_space="k")
+    np.testing.assert_array_equal(np.asarray(o_auto), np.asarray(o_k))
+    ref = attention_reference(q, k, v, is_causal=True)
+    assert _cos(o_auto, ref) > (0.99 if name == "int4" else 0.999)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_k_space_lse_matches_q_space(causal):
+    q, k, v = _qkv(key=2)
+    ok, lse_k = lq.lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=causal, return_lse=True, kernel_space="k"
+    )
+    oq, lse_q = lq.lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=causal, return_lse=True, kernel_space="q"
+    )
+    assert lse_k.shape == lse_q.shape == q.shape[:3]
+    assert float(jnp.max(jnp.abs(lse_k - lse_q))) < 2e-2
+    assert _cos(ok, oq) > 0.9999
+
+
+def test_k_space_nhd_layout_and_head_pad():
+    # NHD layout + head_dim 48 (padded to 64) through the K-major route.
+    q, k, v = _qkv(key=3, d=48)
+    qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    o = lq.lowbit_fa_qk_int8_pv_fp16(qn, kn, vn, tensor_layout="NHD", is_causal=True)
+    ref = attention_reference(q, k, v, is_causal=True)
+    assert o.shape == qn.shape
+    assert _cos(jnp.swapaxes(o, 1, 2), ref) > 0.999
+
+
+def test_k_space_gqa():
+    q, _, _ = _qkv(key=4, h=8)
+    _, k, v = _qkv(key=5, h=2)
+    o = lq.lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=True)
+    ref = attention_reference(q, k, v, is_causal=True)
+    assert _cos(o, ref) > 0.999
+
+
+def test_int2_k_major_tracks_oracle():
+    q, k, v = _qkv(key=6)
+    o = lq.lowbit_fa_qk_int2_pv_fp16(q, k, v, is_causal=True)
+    ref = attention_reference(q, k, v, is_causal=True)
+    assert o.shape == q.shape
+    assert _cos(o, ref) > 0.85  # 3-level K codes: coarse by construction
+
+
+def test_varlen_k_space_matches_q_space():
+    lens = [130, 70, 256]
+    total = sum(lens)
+    h, d = 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (total, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (total, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (total, h, d), jnp.float32)
+    cu = jnp.array(np.cumsum([0] + lens), jnp.int32)
+    ok = lq.lowbit_fa_varlen(q, k, v, cu, cu, max(lens), max(lens),
+                             is_causal=True, kernel_space="k")
+    oq = lq.lowbit_fa_varlen(q, k, v, cu, cu, max(lens), max(lens),
+                             is_causal=True, kernel_space="q")
+    assert ok.shape == oq.shape == q.shape
+    assert _cos(ok, oq) > 0.9999
