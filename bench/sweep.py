@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.ops import quant as q_ops
-from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp, lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    flash_attention_fp,
+    lowbit_attention,
+    lowbit_attention_km,
+)
 from lowbit_quant_fa2_paddle_tpu.ops.fused_kv import (
     fused_packed_kv_attention,
     quant_kv_grouped,
@@ -34,38 +38,70 @@ from lowbit_quant_fa2_paddle_tpu.utils.benchmark import (
 )
 
 
-def build_variant(bits, q, k, v, vq_int8, causal):
-    """Returns (fn, args) for one benchmark variant. Quantization happens
-    outside the timed region (reference times the attention kernel only,
-    utils/benchmark.py:236-266)."""
+def build_variant(bits, q, k, v, vq_int8, causal, space="k"):
+    """Returns (fn, args, transposed_out) for one benchmark variant.
+    Quantization happens outside the timed region (reference times the
+    attention kernel only, utils/benchmark.py:236-266). ``space="k"`` runs
+    the K-major (transposed-space) kernel — the API default — on its
+    production layout (Q^T codes, natural K, V^T); ``"q"`` the Q-major one."""
     if bits == "fp":
-        return (lambda a, b, c: flash_attention_fp(a, b, c, is_causal=causal), (q, k, v))
+        return (lambda a, b, c: flash_attention_fp(a, b, c, is_causal=causal), (q, k, v), False)
+    km = space == "k"
     if bits in ("int8", "int8_v8"):
-        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds" if km else "ns")
         kc, ks = q_ops.quant_int8(k, gran="per_token")
         if bits == "int8_v8":
             vc, vsc, _ = q_ops.quant_v_int8_per_channel(v)
+            if km:
+                vcT = jnp.swapaxes(vc, 2, 3)
+                return (
+                    lambda a, b, c, d, e: lowbit_attention_km(a, b, c, d, e, v_scale=vsc, is_causal=causal),
+                    (qc, kc, vcT, qs, ks),
+                    True,
+                )
             return (
                 lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, v_scale=vsc, is_causal=causal),
                 (qc, kc, vc, qs, ks),
+                False,
+            )
+        if km:
+            return (
+                lambda a, b, c, d, e: lowbit_attention_km(a, b, c, d, e, is_causal=causal),
+                (qc, kc, jnp.swapaxes(v, 2, 3), qs, ks),
+                True,
             )
         return (
             lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, is_causal=causal),
             (qc, kc, v, qs, ks),
+            False,
         )
     if bits == "int4":
-        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds" if km else "ns")
         k4, ks = q_ops.quant_int4(k, gran="per_token")
+        if km:
+            return (
+                lambda a, b, c, d, e: lowbit_attention_km(a, b, c, d, e, k_packed_int4=True, is_causal=causal),
+                (qc, k4, jnp.swapaxes(v, 2, 3), qs, ks),
+                True,
+            )
         return (
             lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, k_pack_bits=4, is_causal=causal),
             (qc, k4, v, qs, ks),
+            False,
         )
     if bits == "int2":
-        qc, qs = q_ops.quant_int8(q, gran="per_token")
+        qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds" if km else "ns")
         k2, ks = q_ops.quant_int2(k, gran="per_token")
+        if km:
+            return (
+                lambda a, b, c, d, e: lowbit_attention_km(a, b, c, d, e, k_pack_bits=2, is_causal=causal),
+                (qc, k2, jnp.swapaxes(v, 2, 3), qs, ks),
+                True,
+            )
         return (
             lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, k_pack_bits=2, is_causal=causal),
             (qc, k2, v, qs, ks),
+            False,
         )
     if bits == "kivi4":
         kp, ks, km = quant_kv_grouped(k, bits=4, group=256)
@@ -73,6 +109,7 @@ def build_variant(bits, q, k, v, vq_int8, causal):
         return (
             lambda *a: fused_packed_kv_attention(*a, bits=4, is_causal=causal),
             (q, kp, vp, ks, km, vs, vm),
+            False,
         )
     raise ValueError(bits)
 
@@ -86,6 +123,8 @@ def main():
     p.add_argument("--bits", nargs="+", default=["fp", "int8", "int8_v8", "int4"],
                    choices=["fp", "int8", "int8_v8", "int4", "int2", "kivi4"])
     p.add_argument("--causal", action="store_true")
+    p.add_argument("--space", default="k", choices=["k", "q"],
+                   help="kernel schedule: k-major (API default) or q-major")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -99,9 +138,11 @@ def main():
         flops = attention_flops(args.batch_size, args.num_heads, args.head_dim, s, s, args.causal)
         o_ref = None
         for bits in args.bits:
-            fn, fargs = build_variant(bits, q, k, v, False, args.causal)
+            fn, fargs, t_out = build_variant(bits, q, k, v, False, args.causal, args.space)
             o = jax.jit(fn)(*fargs)
             o = o[0] if isinstance(o, tuple) else o
+            if t_out:
+                o = jnp.swapaxes(o, 2, 3)
             if bits == "fp":
                 o_ref = o
             t = measure_op_time(fn, fargs)
@@ -109,6 +150,7 @@ def main():
                 "bits": bits,
                 "seq": s,
                 "causal": args.causal,
+                "space": args.space if bits != "fp" else "q",
                 "tflops": round(tflops(flops, t), 2),
                 "ms": round(t * 1e3, 3),
             }
