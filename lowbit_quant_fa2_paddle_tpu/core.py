@@ -173,14 +173,27 @@ def lowbit_fa_qk_int8_pv_fp16(
     if kernel_space == "k":
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
-        # Q^T codes straight from the quant kernel's in-VMEM relayout; K
-        # quantized in NATURAL layout (K-major needs no K transpose at all).
-        qT_codes, q_scale = quant_ops.quant_int8(
-            qp, gran=gq, block=bq, backend=backend, layout="ds", interpret=interpret
-        )
+        # K quantized in NATURAL layout (K-major needs no K transpose at
+        # all). Q side, fuse_quant policy: in-kernel hoisted per-token quant
+        # + VMEM relayout (deletes the external Q quant kernel AND the Q^T
+        # pass; bit-identical math) vs external Q^T codes straight from the
+        # quant kernel's in-VMEM relayout.
+        # Auto default stays on the external path until the fused
+        # variant's in-VMEM [BQ,D]->[D,BQ] relayout is hardware-verified
+        # (interpret mode cannot prove Mosaic block rules) — flip after
+        # the on-chip record lands in PERFORMANCE.md.
+        fuse_q = fuse_quant
+        if fuse_q is None:
+            fuse_q = False
         k_codes, k_scale = quant_ops.quant_int8(
             kp, km, gran=gk, block=bk, backend=backend, interpret=interpret
         )
+        if fuse_q:
+            q_in, q_scale = qp, None
+        else:
+            q_in, q_scale = quant_ops.quant_int8(
+                qp, gran=gq, block=bq, backend=backend, layout="ds", interpret=interpret
+            )
         v_mean = None
         v_in = v
         if smooth_v:
@@ -188,11 +201,12 @@ def lowbit_fa_qk_int8_pv_fp16(
             v_in = (v.astype(jnp.float32) - v_mean[:, :, None, :]).astype(v.dtype)
         vT = jnp.swapaxes(_pad_head_dim(v_in), 2, 3)
         out = lowbit_attention_km(
-            qT_codes,
+            q_in,
             k_codes,
             vT,
             q_scale,
             k_scale,
+            fused_quant_q=bool(fuse_q),
             v_mean=v_mean,
             is_causal=is_causal,
             sm_scale=sm_scale,
@@ -402,21 +416,27 @@ def lowbit_fa_qk_int4_pv_fp16(
 
     km = quant_ops.k_mean(kp) if smooth_k else None
     if kernel_space in ("auto", "k"):
-        # K-major route: Q^T int8 codes from the quant kernel, K packed in
-        # NATURAL layout (the nibble unpack runs along lanes in-kernel), V
-        # transposed. See the int8 wrapper's kernel_space note.
+        # K-major route: K packed in NATURAL layout (the nibble unpack runs
+        # along lanes in-kernel), V transposed. Q side per the fuse_quant
+        # policy (see the int8 wrapper): in-kernel hoisted quant+relayout by
+        # default, external Q^T codes with fuse_quant=False.
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
-        qT_codes, q_scale = quant_ops.quant_int8(
-            qp, gran=gq, block=bq, layout="ds", interpret=interpret
-        )
+        fuse_q = bool(fuse_quant)  # auto=external until hardware-verified
+        if fuse_q:
+            q_in, q_scale = qp, None
+        else:
+            q_in, q_scale = quant_ops.quant_int8(
+                qp, gran=gq, block=bq, layout="ds", interpret=interpret
+            )
         k_packed, k_scale = quant_ops.quant_int4(kp, km, gran=gk, block=bk, interpret=interpret)
         out = lowbit_attention_km(
-            qT_codes,
+            q_in,
             k_packed,
             jnp.swapaxes(_pad_head_dim(v), 2, 3),
             q_scale,
             k_scale,
+            fused_quant_q=bool(fuse_q),
             k_packed_int4=True,
             is_causal=is_causal,
             sm_scale=sm_scale,
@@ -627,18 +647,23 @@ def lowbit_fa_varlen(
     if kernel_space in ("auto", "k"):
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
-        qT_codes, q_scale = quant_ops.quant_int8(
-            qp, gran=gq, block=bq, layout="ds", interpret=interpret
-        )
+        fuse_q = bool(fuse_quant)  # auto=external until hardware-verified
+        if fuse_q:
+            q_in, q_scale = qp, None
+        else:
+            q_in, q_scale = quant_ops.quant_int8(
+                qp, gran=gq, block=bq, layout="ds", interpret=interpret
+            )
         k_codes, k_scale = quant_ops.quant_int8(
             kp, km, gran=gk, block=bk, interpret=interpret
         )
         oT = lowbit_attention_km(
-            qT_codes,
+            q_in,
             k_codes,
             jnp.swapaxes(_pad_head_dim(vh), 2, 3),
             q_scale,
             k_scale,
+            fused_quant_q=bool(fuse_q),
             q_segment_ids=q_seg,
             kv_segment_ids=kv_seg,
             is_causal=is_causal,

@@ -119,6 +119,7 @@ def _attn_body_km(
     block_kv: int,
     causal: bool,
     quantized_qk: bool,
+    fused_quant_q: bool = False,
     k_pack_bits: int,
     v_quantized: bool,
     smooth_v: bool,
@@ -153,11 +154,13 @@ def _attn_body_km(
     shape the matrix unit wants, here at block rather than smem granularity.
     """
     it = iter(refs)
-    q_ref = next(it)  # [D(, /pack on q? no — q never packed), BQ]
+    q_ref = next(it)  # [D, BQ]; NATURAL float [BQ, D] when fused_quant_q
     k_ref = next(it)  # [BK, Dk] natural
     v_ref = next(it)  # [D, BK] transposed
     qs_ref = ks_ref = None
-    if quantized_qk:
+    if fused_quant_q:
+        ks_ref = next(it)  # K externally quantized; Q quantized in-kernel
+    elif quantized_qk:
         qs_ref = next(it)  # [1, BQ] row
         ks_ref = next(it)  # [BK, 1] column
     vs_ref = vm_ref = None
@@ -177,12 +180,31 @@ def _attn_body_km(
     m_scr = next(it)  # [SUB, BQ] rows (replicated over sublanes)
     l_scr = next(it)
     acc_scr = next(it)  # [D, BQ]
+    q8_scr = qs_scr = None
+    if fused_quant_q:
+        q8_scr = next(it)  # [D, BQ] int8
+        qs_scr = next(it)  # [SUB, BQ] (replicated)
 
     @pl.when(is_first)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if fused_quant_q:
+            # Hoisted in-kernel Q quantization + relayout (the K-major twin
+            # of the Q-major hybrid, see _attn_body._init): the q tile is
+            # constant across this grid row, so once per q-block quantize
+            # per-token AND transpose [BQ, D] -> [D, BQ] in VMEM (same
+            # ``codes.T`` relayout the quant kernel's layout="ds" uses).
+            # This deletes both the external Q quant kernel's HBM round trip
+            # and the whole-tensor XLA Q^T transpose pass.
+            qfT = q_ref[0, 0].astype(jnp.float32).T  # [D, BQ]
+            qa = jnp.max(jnp.abs(qfT), axis=0, keepdims=True) / 127.0 + 1e-7
+            q8_scr[...] = jnp.clip(
+                jax.lax.round(qfT / qa, jax.lax.RoundingMethod.AWAY_FROM_ZERO),
+                -127.0, 127.0,
+            ).astype(jnp.int8)
+            qs_scr[...] = jnp.broadcast_to(qa * sm_scale_log2e, qs_scr.shape)
 
     if causal:
         should_run = j * block_kv <= i * block_q + block_q - 1
@@ -191,7 +213,7 @@ def _attn_body_km(
 
     @pl.when(should_run)
     def _compute():
-        qT = q_ref[0, 0]  # [D, BQ]
+        qT = q8_scr[...] if fused_quant_q else q_ref[0, 0]  # [D, BQ]
         k = k_ref[0, 0]   # [BK, Dk]
         if k_pack_bits == 4:
             # K natural [BK, D/2]: halves-of-D nibble unpack along the lane
@@ -208,11 +230,12 @@ def _attn_body_km(
             ]
             k = jnp.concatenate(parts, axis=-1).astype(jnp.int8)
 
-        if quantized_qk:
+        if quantized_qk or fused_quant_q:
             sT = jax.lax.dot_general(
                 k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
             ).astype(jnp.float32)
-            sT = sT * ks_ref[0, 0] * qs_ref[0, 0]
+            q_row = qs_scr[...][:1] if fused_quant_q else qs_ref[0, 0]
+            sT = sT * ks_ref[0, 0] * q_row
         else:
             sT = jax.lax.dot_general(
                 k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -889,6 +912,7 @@ def lowbit_attention_km(
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
+    fused_quant_q: bool = False,
     logit_cap: float = 0.0,
     pv_dtype=jnp.bfloat16,
     block_q: int = 2048,
@@ -905,7 +929,11 @@ def lowbit_attention_km(
 
     Layouts (all "transposed" relative to ``lowbit_attention``):
       qT: ``[B, H, D, Sq]`` int8 codes (straight from
-          ``quant_int8(layout="ds")``) or float.
+          ``quant_int8(layout="ds")``) or float. With ``fused_quant_q``,
+          pass NATURAL-layout float Q ``[B, H, Sq, D]`` instead: the kernel
+          quantizes per-token and relayouts to [D, BQ] in VMEM, hoisted once
+          per q-block (``q_scale`` must be None; ``k_scale`` still required —
+          K codes stay external since their quant is O(S) with no transpose).
       k:  ``[B, Hk, Sk, Dk]`` — NATURAL layout (no transpose pass anywhere);
           ``Dk = D/2`` when ``k_packed_int4``.
       vT: ``[B, Hk, D, Sk]`` float, or int8 with per-channel ``v_scale``
@@ -914,7 +942,13 @@ def lowbit_attention_km(
       consumers fold O^T into the next matmul's dimension numbers; drop-in
       wrappers transpose once.
     """
-    b, h, d, s_q = qT.shape
+    if fused_quant_q:
+        assert q_scale is None and k_scale is not None, (
+            "fused_quant_q quantizes Q in-kernel; K must be external codes"
+        )
+        b, h, s_q, d = qT.shape
+    else:
+        b, h, d, s_q = qT.shape
     _, h_kv, s_k, d_k = k.shape
     quantized_qk = q_scale is not None
     if k_packed_int4:
@@ -924,7 +958,11 @@ def lowbit_attention_km(
     if interpret is None:
         interpret = default_interpret()
     if out_dtype is None:
-        out_dtype = jnp.bfloat16 if quantized_qk or vT.dtype == jnp.int8 else vT.dtype
+        out_dtype = (
+            jnp.bfloat16
+            if quantized_qk or fused_quant_q or vT.dtype == jnp.int8
+            else vT.dtype
+        )
     assert h % h_kv == 0
     group = h // h_kv
     v_quantized = vT.dtype == jnp.int8
@@ -965,13 +1003,22 @@ def lowbit_attention_km(
         def IM(f):
             return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
 
+    if fused_quant_q:
+        q_spec = pl.BlockSpec((1, 1, block_q, d), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM)
+    else:
+        q_spec = pl.BlockSpec((1, 1, d, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, d, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
+        q_spec,
         pl.BlockSpec((1, 1, block_kv, d_k), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM),
     ]
     args = [qT, k, vT]
-    if quantized_qk:
+    if fused_quant_q:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_kv, 1), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM)
+        )
+        args.append(k_scale.astype(jnp.float32)[..., None])
+    elif quantized_qk:
         # q_scale as a ROW [B,H,1,Sq]; k_scale as a COLUMN [B,Hk,Sk,1].
         in_specs += [
             pl.BlockSpec((1, 1, 1, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM),
@@ -1017,6 +1064,11 @@ def lowbit_attention_km(
         pltpu.VMEM((8, block_q), jnp.float32),
         pltpu.VMEM((d, block_q), jnp.float32),
     ]
+    if fused_quant_q:
+        scratch_shapes += [
+            pltpu.VMEM((d, block_q), jnp.int8),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ]
     params = dict(
         k_major=True,
         kv_len=s_k,
@@ -1024,6 +1076,7 @@ def lowbit_attention_km(
         block_kv=block_kv,
         causal=is_causal,
         quantized_qk=quantized_qk,
+        fused_quant_q=fused_quant_q,
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         smooth_v=smooth_v,

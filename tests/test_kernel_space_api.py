@@ -109,3 +109,31 @@ def test_varlen_k_space_matches_q_space():
                              is_causal=True, kernel_space="q")
     assert ok.shape == oq.shape == q.shape
     assert _cos(ok, oq) > 0.9999
+
+
+@pytest.mark.parametrize("name", ["int8", "int4"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_q_quant_bit_identical(name, causal):
+    # fuse_quant=True on the K-major route quantizes Q in-kernel (hoisted
+    # per-token quant + VMEM relayout) — must be BIT-identical to the
+    # external quant_int8(layout="ds") path.
+    fn, _ = WRAPPERS[name]
+    q, k, v = _qkv(key=8)
+    o_ext = fn(q, k, v, is_causal=causal, fuse_quant=False)
+    o_fus = fn(q, k, v, is_causal=causal, fuse_quant=True)
+    np.testing.assert_array_equal(np.asarray(o_ext), np.asarray(o_fus))
+
+
+def test_fused_q_quant_varlen_bit_identical():
+    lens = [130, 70, 256]
+    total = sum(lens)
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (total, 4, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (total, 4, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (total, 4, 64), jnp.float32)
+    cu = jnp.array(np.cumsum([0] + lens), jnp.int32)
+    o_ext = lq.lowbit_fa_varlen(q, k, v, cu, cu, max(lens), max(lens),
+                                is_causal=True, fuse_quant=False)
+    o_fus = lq.lowbit_fa_varlen(q, k, v, cu, cu, max(lens), max(lens),
+                                is_causal=True, fuse_quant=True)
+    np.testing.assert_array_equal(np.asarray(o_ext), np.asarray(o_fus))
