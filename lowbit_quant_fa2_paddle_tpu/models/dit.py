@@ -11,6 +11,13 @@ implementation pluggable per call:
 * ``attn_impl='int8'``    — INT8-QK Pallas path (the product)
 * ``attn_impl='int8_v8'`` — INT8-QK + INT8-V (fp8-PV analog)
 * ``attn_impl='int4'``    — INT8-Q x INT4-K path
+* ``attn_impl='int8_t'`` / ``'int4_t'`` — NATIVE transposed-space dataflow:
+  the block runs the K-major kernel directly — Q stays natural (quantized
+  in-kernel), K is quantized in natural layout, V^T comes straight out of
+  the V projection einsum, and O^T folds into the output projection's
+  dimension numbers. No transpose pass is ever materialized around the
+  attention; this is the "model consumers fold O^T into the next matmul"
+  integration the kernel's layout contract was designed for.
 
 Flagship config mirrors CogVideoX-2b's attention geometry: 30 heads x
 head_dim 64, hidden 1920, ~17k tokens for a 49x480x720 video latent
@@ -194,6 +201,44 @@ def _attention(q, k, v, impl: str, interpret: Optional[bool]):
     raise ValueError(f"unknown attn_impl {impl!r}")
 
 
+def _attention_km_native(p: Params, xa: jax.Array, h: int, hd: int,
+                         attn_impl: str, interpret: Optional[bool]) -> jax.Array:
+    """Transposed-space attention dataflow (K-major kernel, zero transpose
+    passes): V^T is emitted by the V projection's dimension numbers, Q is
+    quantized in-kernel from its natural projection, K is quantized in
+    natural layout (the K-major kernel never wants K^T), and the returned
+    O^T [B,H,D,S] is contracted straight into the output projection by the
+    caller. Requires unquantized qkv weights (the gemv path emits flat
+    rows); head_dim must be a lane multiple."""
+    from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention_km
+
+    b, s, d = xa.shape
+    w3 = p["qkv"]["w"].reshape(d, 3, h, hd)
+    b3 = p["qkv"]["b"].reshape(3, h, hd)
+    q = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 0]) + b3[0][None, :, None, :]
+    k = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 1]) + b3[1][None, :, None, :]
+    vT = jnp.einsum("bse,ehd->bhds", xa, w3[:, 2]) + b3[2][None, :, :, None]
+    km_mean = quant_ops.k_mean(k)
+    if attn_impl == "int4_t":
+        k_codes, k_scale = quant_ops.quant_int4(k, km_mean, gran="per_token", interpret=interpret)
+        packed = True
+    else:
+        k_codes, k_scale = quant_ops.quant_int8(k, km_mean, gran="per_token", interpret=interpret)
+        packed = False
+    return lowbit_attention_km(
+        q,
+        k_codes,
+        vT,
+        k_scale=k_scale,
+        fused_quant_q=True,
+        k_packed_int4=packed,
+        sm_scale=1.0 / math.sqrt(hd),
+        out_dtype=xa.dtype,
+        interpret=interpret,
+    )  # O^T [B,H,hd,S]
+
+
 def dit_block_forward(p: Params, x: jax.Array, c: jax.Array, cfg: DiTConfig,
                       attn_impl: str, interpret: Optional[bool]) -> jax.Array:
     """One DiT block. x: [B, S, dim]; c: [B, time_embed_dim] conditioning."""
@@ -203,11 +248,23 @@ def dit_block_forward(p: Params, x: jax.Array, c: jax.Array, cfg: DiTConfig,
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
 
     xa = _layer_norm(x) * (1 + sc_a) + sh_a
-    qkv = _dense(p["qkv"], xa).reshape(b, s, 3, h, hd)
-    q, k, v = (jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3))  # [B,H,S,hd]
-    o = _attention(q, k, v, attn_impl, interpret)
-    o = jnp.swapaxes(o, 1, 2).reshape(b, s, d).astype(x.dtype)
-    x = x + g_a * _dense(p["proj"], o)
+    if (attn_impl in ("int8_t", "int4_t") and "w" in p["qkv"]
+            and "w" in p["proj"] and hd % 64 == 0):
+        oT = _attention_km_native(p, xa, h, hd, attn_impl, interpret)
+        # O^T folds into the output projection's contraction dims — the
+        # transpose rides the MXU's dimension numbers instead of an XLA
+        # relayout pass.
+        wp = p["proj"]["w"]
+        o_proj = jnp.einsum("bhds,hde->bse", oT.astype(x.dtype), wp.reshape(h, hd, d))
+        x = x + g_a * (o_proj + p["proj"]["b"])
+    else:
+        if attn_impl in ("int8_t", "int4_t"):  # wq weights: flat-row gemv path
+            attn_impl = attn_impl[:-2]
+        qkv = _dense(p["qkv"], xa).reshape(b, s, 3, h, hd)
+        q, k, v = (jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3))  # [B,H,S,hd]
+        o = _attention(q, k, v, attn_impl, interpret)
+        o = jnp.swapaxes(o, 1, 2).reshape(b, s, d).astype(x.dtype)
+        x = x + g_a * _dense(p["proj"], o)
 
     xm = _layer_norm(x) * (1 + sc_m) + sh_m
     x = x + g_m * _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], xm)))

@@ -142,6 +142,28 @@ def _attn_prefill(q, k, v, attn_impl: str, interpret):
     return attention_reference(q, k, v, is_causal=True)
 
 
+def _attn_prefill_km(q, k, v, interpret):
+    """Transposed-space prefill attention: Q quantized in-kernel from its
+    natural (RoPE'd) layout, K codes quantized in natural layout (needed
+    natural for the cache anyway), O^T returned for the caller to contract
+    straight into wo's dimension numbers — no O transpose pass."""
+    from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention_km
+
+    km_mean = quant_ops.k_mean(k)
+    kc, ksc = quant_ops.quant_int8(k, km_mean, gran="per_token", interpret=interpret)
+    return lowbit_attention_km(
+        q,
+        kc,
+        jnp.swapaxes(v, 2, 3),
+        k_scale=ksc,
+        fused_quant_q=True,
+        is_causal=True,
+        out_dtype=v.dtype,
+        interpret=interpret,
+    )  # [B, H, hd, S]
+
+
 def llm_prefill(
     params: Params,
     tokens: jax.Array,  # [B, S]
@@ -164,8 +186,15 @@ def llm_prefill(
         v = _mm(xa, blk["wv"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
-        o = _attn_prefill(q, k, v, attn_impl, interpret)
-        x = x + _mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
+        if attn_impl == "int8_t" and isinstance(blk["wo"], jax.Array) and hd % 64 == 0:
+            oT = _attn_prefill_km(q, k, v, interpret)
+            x = x + jnp.einsum(
+                "bhds,hde->bse", oT.astype(x.dtype), blk["wo"].reshape(h, hd, -1)
+            )
+        else:
+            impl = "int8" if attn_impl == "int8_t" else attn_impl
+            o = _attn_prefill(q, k, v, impl, interpret)
+            x = x + _mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = _rms_norm(x, blk["ln2"])
         x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
 

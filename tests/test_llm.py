@@ -74,3 +74,18 @@ def test_quantized_weights_track_dense():
         lo_dec, _ = llm.llm_decode_step(qp, nxt, caches, cfg)
         assert lo_dec.shape == (2, cfg.vocab)
         assert not bool(jnp.any(jnp.isnan(lo_dec)))
+
+
+def test_prefill_native_transposed_matches_int8():
+    cfg = llm.tiny_llm_config(max_seq=64, num_heads=4, num_kv_heads=2)
+    assert cfg.head_dim == 64
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    lo_t, caches_t = llm.llm_prefill(params, prompt, cfg, attn_impl="int8_t")
+    lo_q, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="int8")
+    # Same attention math; the wo contraction runs as one (h,d) dot_general
+    # instead of flat reshape @ w — identical up to f32 accumulation order.
+    np.testing.assert_allclose(np.asarray(lo_t), np.asarray(lo_q), rtol=5e-3, atol=2e-3)
+    lo_e, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    agree = (jnp.argmax(lo_t[:, -1], -1) == jnp.argmax(lo_e[:, -1], -1)).mean()
+    assert float(agree) == 1.0

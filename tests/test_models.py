@@ -87,3 +87,30 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
+
+
+def test_dit_native_transposed_dataflow():
+    """attn_impl='int8_t'/'int4_t': the K-major kernel wired natively into
+    the block (V^T from the projection, O^T folded into the out-projection,
+    Q quantized in-kernel) must track both the wrapper path and exact."""
+    cfg = dit.DiTConfig(dim=256, depth=2, num_heads=4, time_embed_dim=32,
+                        dtype=jnp.float32)
+    params = dit.init_dit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 300, cfg.dim), cfg.dtype)
+    t = jnp.array([10.0, 500.0])
+    o_exact = dit.dit_forward(params, x, t, cfg, attn_impl="exact")
+    o_int8 = dit.dit_forward(params, x, t, cfg, attn_impl="int8")
+    o_t8 = dit.dit_forward(params, x, t, cfg, attn_impl="int8_t")
+    o_t4 = dit.dit_forward(params, x, t, cfg, attn_impl="int4_t")
+    assert float(metrics.cosine_similarity(o_t8, o_int8)) > 0.9999
+    assert float(metrics.cosine_similarity(o_t8, o_exact)) > 0.999
+    assert float(metrics.cosine_similarity(o_t4, o_exact)) > 0.99
+
+
+def test_dit_native_transposed_falls_back_small_head():
+    # tiny_config has head_dim 32 (< lane width): int8_t must silently use
+    # the wrapper path and still be accurate.
+    cfg, params, x, t = _setup()
+    o = dit.dit_forward(params, x, t, cfg, attn_impl="int8_t")
+    o_exact = dit.dit_forward(params, x, t, cfg, attn_impl="exact")
+    assert float(metrics.cosine_similarity(o, o_exact)) > 0.98
