@@ -53,3 +53,22 @@ def test_int8_block_size_grid(block_q, block_kv):
                          pv_dtype=jnp.float32, out_dtype=jnp.float32)
     o_ref = attention_reference(q, k, v, is_causal=True)
     assert float(metrics.cosine_similarity(o, o_ref)) > 0.999
+
+
+@pytest.mark.parametrize("case", CASES, ids=[str(c) for c in CASES])
+def test_fused_q_shape_grid(case):
+    """fuse_quant=True (in-kernel Q quant + relayout on the K-major route)
+    must be BIT-identical to external quant across the full shape grid —
+    edge blocks, GQA, head-dim padding included."""
+    import numpy as np
+
+    import lowbit_quant_fa2_paddle_tpu.core as core
+
+    b, h, hk, sq, sk, d, causal = case
+    ks = jax.random.split(jax.random.PRNGKey(hash(case) % 2**31), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, hk, sk, d))
+    v = jax.random.normal(ks[2], (b, hk, sk, d))
+    o_ext = core.lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=causal, fuse_quant=False)
+    o_fus = core.lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=causal, fuse_quant=True)
+    np.testing.assert_array_equal(np.asarray(o_ext), np.asarray(o_fus))
