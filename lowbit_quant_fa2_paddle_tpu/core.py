@@ -329,9 +329,13 @@ def lowbit_fa_qk_int8_pv_int8(
     gq, bq = _gran_block(qk_quant_gran, "q")
     gk, bk = _gran_block(qk_quant_gran, "k")
     k_major = kernel_space in ("auto", "k")
-    q_codes, q_scale = quant_ops.quant_int8(
-        qp, gran=gq, block=bq, layout="ds" if k_major else "ns", interpret=interpret
-    )
+    fuse_q = k_major and bool(fuse_quant)  # auto=external until hardware-verified
+    if fuse_q:
+        q_codes, q_scale = qp, None
+    else:
+        q_codes, q_scale = quant_ops.quant_int8(
+            qp, gran=gq, block=bq, layout="ds" if k_major else "ns", interpret=interpret
+        )
     k_codes, k_scale = quant_ops.quant_int8(kp, km, gran=gk, block=bk, interpret=interpret)
     v_codes, v_scale, v_mean = quant_ops.quant_v_int8_per_channel(
         _pad_head_dim(v), smooth_v=smooth_v
@@ -344,6 +348,7 @@ def lowbit_fa_qk_int8_pv_int8(
             jnp.swapaxes(v_codes, 2, 3),
             q_scale,
             k_scale,
+            fused_quant_q=fuse_q,
             v_scale=v_scale,
             v_mean=v_mean,
             is_causal=is_causal,
@@ -540,12 +545,17 @@ def lowbit_fa_qk_int2_pv_fp16(
     km = quant_ops.k_mean(kp) if smooth_k else None
     gq, bq = _gran_block(qk_quant_gran, "q")
     gk, bk = _gran_block(qk_quant_gran, "k")
-    qT_codes, q_scale = quant_ops.quant_int8(
-        qp, gran=gq, block=bq, layout="ds", interpret=interpret
-    )
+    fuse_q = bool(fuse_quant)  # auto=external until hardware-verified
+    if fuse_q:
+        q_in, q_scale = qp, None
+    else:
+        q_in, q_scale = quant_ops.quant_int8(
+            qp, gran=gq, block=bq, layout="ds", interpret=interpret
+        )
     k_packed, k_scale = quant_ops.quant_int2(kp, km, gran=gk, block=bk, interpret=interpret)
     out = lowbit_attention_km(
-        qT_codes, k_packed, jnp.swapaxes(_pad_head_dim(v), 2, 3), q_scale, k_scale,
+        q_in, k_packed, jnp.swapaxes(_pad_head_dim(v), 2, 3), q_scale, k_scale,
+        fused_quant_q=fuse_q,
         is_causal=is_causal, sm_scale=sm_scale, k_pack_bits=2,
         out_dtype=v.dtype, return_lse=return_lse, interpret=interpret,
     )
