@@ -307,6 +307,7 @@ def lowbit_fa_qk_int8_pv_int8(
     return_lse: bool = False,
     *,
     kernel_space: str = "auto",
+    fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
@@ -528,6 +529,7 @@ def lowbit_fa_qk_int2_pv_fp16(
     smooth_k: bool = True,
     return_lse: bool = False,
     *,
+    fuse_quant: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **kwargs,
 ):
