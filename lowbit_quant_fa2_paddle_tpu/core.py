@@ -308,6 +308,7 @@ def lowbit_fa_qk_int8_pv_int8(
     *,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
+    pv_int8: bool = False,
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
@@ -350,6 +351,7 @@ def lowbit_fa_qk_int8_pv_int8(
             q_scale,
             k_scale,
             fused_quant_q=fuse_q,
+            pv_int8=pv_int8,
             v_scale=v_scale,
             v_mean=v_mean,
             is_causal=is_causal,
@@ -372,6 +374,7 @@ def lowbit_fa_qk_int8_pv_int8(
         k_scale,
         v_scale=v_scale,
         v_mean=v_mean,
+        pv_int8=pv_int8,
         is_causal=is_causal,
         sm_scale=sm_scale,
         block_q=block_q,

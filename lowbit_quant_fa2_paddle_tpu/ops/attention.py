@@ -122,6 +122,7 @@ def _attn_body_km(
     fused_quant_q: bool = False,
     k_pack_bits: int,
     v_quantized: bool,
+    pv_int8: bool = False,
     smooth_v: bool,
     has_segments: bool,
     has_bias: bool,
@@ -264,7 +265,7 @@ def _attn_body_km(
         if mask is not None:
             sT = jnp.where(mask, sT, MASK_VALUE)
 
-        bf16_softmax = pv_dtype == jnp.bfloat16
+        bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_curr = jnp.max(sT, axis=0, keepdims=True)  # sublane reduce [1, BQ]
@@ -281,12 +282,21 @@ def _attn_body_km(
             cols_left = kv_len - j * block_kv
             vcol = jax.lax.broadcasted_iota(jnp.int32, vT.shape, 1)
             vT = jnp.where(vcol < cols_left, vT, 0)
-        pv = jax.lax.dot_general(
-            vT.astype(pv_dtype),
-            pT.astype(pv_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if v_quantized and pv_int8:
+            # True INT8 P@V (see _attn_body's pv_int8 note — the TPU analog
+            # of the reference's FP8 P conversion): static scale 127 on the
+            # softmax weights, int32 accumulate, 1/127 undo.
+            p8 = (pT.astype(jnp.float32) * 127.0 + 0.5).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                vT, p8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (1.0 / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                vT.astype(pv_dtype),
+                pT.astype(pv_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[...] = acc_scr[...] * alpha[:1] + pv
 
     @pl.when(is_last)
@@ -913,6 +923,7 @@ def lowbit_attention_km(
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
     fused_quant_q: bool = False,
+    pv_int8: bool = False,
     logit_cap: float = 0.0,
     pv_dtype=jnp.bfloat16,
     block_q: int = 2048,
@@ -1079,6 +1090,7 @@ def lowbit_attention_km(
         fused_quant_q=fused_quant_q,
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
+        pv_int8=pv_int8,
         smooth_v=smooth_v,
         has_segments=has_segments,
         has_bias=has_bias,

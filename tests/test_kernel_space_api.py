@@ -137,3 +137,13 @@ def test_fused_q_quant_varlen_bit_identical():
     o_fus = lq.lowbit_fa_varlen(q, k, v, cu, cu, max(lens), max(lens),
                                 is_causal=True, fuse_quant=True)
     np.testing.assert_array_equal(np.asarray(o_ext), np.asarray(o_fus))
+
+
+@pytest.mark.parametrize("space", ["k", "q"])
+def test_pv_int8_both_spaces(space):
+    # True int8 P@V (the reference FP8-P analog) in both kernel schedules.
+    q, k, v = _qkv(key=10)
+    o = lq.lowbit_fa_qk_int8_pv_int8(q, k, v, is_causal=True,
+                                     kernel_space=space, pv_int8=True)
+    ref = attention_reference(q, k, v, is_causal=True)
+    assert _cos(o, ref) > 0.999
