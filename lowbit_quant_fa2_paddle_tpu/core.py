@@ -131,15 +131,18 @@ def lowbit_fa_qk_int8_pv_fp16(
     ``sageattn_qk_int8_pv_fp16_triton``/``_cuda``, src/core.py:194-352,
     495-731).
 
-    ``fuse_quant`` ∈ {None, True, "q", False}: True quantizes Q/K per-token
-    INSIDE the attention kernel (bit-identical to the external path),
-    deleting both quant HBM round trips — measured 12.4 -> 9.1 ms from bf16
-    inputs at b4 h32 s4096 hd64 (1.37x, PERFORMANCE.md). "q" is the HYBRID:
-    only Q is quantized in-kernel (~1% kernel cost) while K takes the
-    external O(S) quantizer with pre-transposed codes — the long-sequence
-    winner. None (default) picks True below s≈4k and "q" beyond, whenever
-    the config is exact (per-token granularity, pallas backend). False
-    forces both external quant kernels.
+    ``fuse_quant`` ∈ {None, True, "q", False}. On the default K-major route
+    (``kernel_space="k"``) any truthy value quantizes Q in-kernel (hoisted
+    per-token quant + VMEM relayout, bit-identical to external codes; K's
+    external quant is O(S) and needs no transpose, so Q is the only fusion
+    that pays); None currently means external (pending the on-chip record).
+    On the Q-major route ("q"): True quantizes Q/K per-token INSIDE the
+    attention kernel, deleting both quant HBM round trips — measured
+    12.4 -> 9.1 ms from bf16 inputs at b4 h32 s4096 hd64 (1.37x,
+    PERFORMANCE.md); "q" is the HYBRID (Q in-kernel, K external with
+    pre-transposed codes — the long-sequence winner); None picks True below
+    s≈4k and "q" beyond, whenever the config is exact (per-token
+    granularity, pallas backend). False forces external quant kernels.
 
     ``pv_accum_dtype`` maps the reference's accumulation policies onto the
     MXU: TPU matmuls accumulate fp32 natively, so {"fp16", "fp16+fp32",
