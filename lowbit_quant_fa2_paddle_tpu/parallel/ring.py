@@ -31,21 +31,30 @@ import jax
 import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
-from lowbit_quant_fa2_paddle_tpu.ops.attention import LOG2E, lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    LOG2E,
+    lowbit_attention,
+    lowbit_attention_km,
+)
 
 
-def _merge(state, o_p, lse2_p, weight_on):
+def _merge(state, o_p, lse2_p, weight_on, transposed=False):
     """Streaming merge of a normalized partial (o_p, base-2 lse2_p) into
     (o_acc, l_acc, m) running state. The partial's unnormalized contribution
     is ``o_p * 2^lse2_p`` (same online-softmax algebra as in-kernel, lifted
-    to the cross-chip level; reference's enabling contract src/core.py:123)."""
+    to the cross-chip level; reference's enabling contract src/core.py:123).
+    ``transposed``: partials are O^T [B,H,D,S] (K-major kernel) — the merge
+    weights broadcast along the D sublane axis instead of the last axis."""
     o_acc, l_acc, m = state
     lse2_p = jnp.where(weight_on, lse2_p, -jnp.inf)
     m_new = jnp.maximum(m, lse2_p)
     m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
     a = jnp.where(jnp.isfinite(m), jnp.exp2(m - m_safe), 0.0)
     b = jnp.where(jnp.isfinite(lse2_p), jnp.exp2(lse2_p - m_safe), 0.0)
-    o_acc = o_acc * a[..., None] + o_p.astype(jnp.float32) * b[..., None]
+    if transposed:
+        o_acc = o_acc * a[:, :, None, :] + o_p.astype(jnp.float32) * b[:, :, None, :]
+    else:
+        o_acc = o_acc * a[..., None] + o_p.astype(jnp.float32) * b[..., None]
     l_acc = l_acc * a + b
     return o_acc, l_acc, m_new
 
@@ -61,6 +70,7 @@ def ring_attention(
     smooth_k: bool = True,
     k_bits: int = 8,
     v_bits: Optional[int] = None,
+    kernel_space: str = "k",
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     **kernel_kw,
@@ -72,12 +82,16 @@ def ring_attention(
     ``k_bits``: 8 (int8 K codes) or 4 (nibble-packed — quarter of a bf16
     ring's K bytes). ``v_bits``: None rotates float V; 8 rotates per-channel
     int8 V codes + a tiny [B,Hk,D] scale (halves the dominant V payload).
+    ``kernel_space``: "k" (default) runs the K-major kernel every hop — KV
+    rotates in exactly the natural/transposed layouts that kernel consumes,
+    and partials merge as O^T; "q" keeps the Q-major kernel.
     """
     b, h, s_loc, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
+    k_major = kernel_space == "k"
 
     # Global smooth-K mean: psum of local sums over the ring.
     km = None
@@ -86,7 +100,9 @@ def ring_attention(
         km = jax.lax.psum(k_sum, axis_name) / (n * k.shape[2])
 
     assert k_bits in (8, 4) and v_bits in (None, 8), (k_bits, v_bits)
-    q_codes, q_scale = quant_ops.quant_int8(q, gran="per_token", interpret=interpret)
+    q_codes, q_scale = quant_ops.quant_int8(
+        q, gran="per_token", layout="ds" if k_major else "ns", interpret=interpret
+    )
     if k_bits == 4:
         k_codes, k_scale = quant_ops.quant_int4(
             k, km, gran="per_token", interpret=interpret
@@ -98,8 +114,11 @@ def ring_attention(
     v_scale = None
     if v_bits == 8:
         v, v_scale, _ = quant_ops.quant_v_int8_per_channel(v)
+    if k_major:
+        v = jnp.swapaxes(v, 2, 3)  # rotate V^T: the km kernel's layout
 
-    o_acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
+    o_shape = (b, h, d, s_loc) if k_major else (b, h, s_loc, d)
+    o_acc = jnp.zeros(o_shape, jnp.float32)
     l_acc = jnp.zeros((b, h, s_loc), jnp.float32)
     m = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
     state = (o_acc, l_acc, m)
@@ -111,7 +130,8 @@ def ring_attention(
         src = (idx - t) % n
 
         def attend(causal):
-            return lowbit_attention(
+            fn = lowbit_attention_km if k_major else lowbit_attention
+            return fn(
                 q_codes,
                 k_blk,
                 v_blk,
@@ -138,7 +158,7 @@ def ring_attention(
                     run,
                     lambda: attend(False),
                     lambda: (
-                        jnp.zeros((b, h, s_loc, d), jnp.float32),
+                        jnp.zeros(o_shape, jnp.float32),
                         jnp.full((b, h, s_loc), -jnp.inf, jnp.float32),
                     ),
                 )
@@ -147,7 +167,7 @@ def ring_attention(
             o_p, lse2 = attend(False)
             on = jnp.full((), True)
 
-        state = _merge(state, o_p, lse2, on)
+        state = _merge(state, o_p, lse2, on, transposed=k_major)
 
         if t < n - 1:
             # Rotate int8 KV codes + scale rows around the ring (half the
@@ -160,7 +180,10 @@ def ring_attention(
 
     o_acc, l_acc, m = state
     l_safe = jnp.where(l_acc == 0.0, 1.0, l_acc)
-    o = (o_acc / l_safe[..., None]).astype(q.dtype)
+    if k_major:
+        o = (jnp.swapaxes(o_acc, 2, 3) / l_safe[..., None]).astype(q.dtype)
+    else:
+        o = (o_acc / l_safe[..., None]).astype(q.dtype)
     if return_lse:
         # natural-log LSE with the smooth-K correction, matching the
         # single-chip contract (reference src/core.py:344-350).

@@ -175,3 +175,14 @@ def test_head_sharded_decode():
     np.testing.assert_allclose(
         np.asarray(o_tp), np.asarray(o_single), atol=2e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_k_space_matches_q_space(causal):
+    # The K-major ring (default) and the Q-major ring run the same quant
+    # codes and merge algebra — outputs must agree to accumulation order.
+    q, k, v = _qkv(5)
+    mesh = make_mesh({"seq": 4})
+    ok = make_ring_attention(mesh, is_causal=causal, kernel_space="k")(q, k, v)
+    oq = make_ring_attention(mesh, is_causal=causal, kernel_space="q")(q, k, v)
+    assert _cos(ok, oq) > 0.9999
