@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
 from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
-from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    lowbit_attention,
+    lowbit_attention_km,
+)
 from lowbit_quant_fa2_paddle_tpu.ops.reference import round_away
 
 
@@ -33,6 +36,7 @@ def ulysses_attention(
     is_causal: bool = False,
     wire_bits: Optional[int] = None,
     smooth_k: bool = True,
+    kernel_space: str = "k",
     interpret: Optional[bool] = None,
     **attn_kw,
 ):
@@ -58,13 +62,17 @@ def ulysses_attention(
 
     if wire_bits == 8:
         assert attn_fn is None, "wire_bits selects the built-in int8 kernel"
+        k_major = kernel_space == "k"
         n = jax.lax.psum(1, axis_name)
         km = None
         if smooth_k:
             k_sum = jnp.sum(k.astype(jnp.float32), axis=2, keepdims=True)
             km = jax.lax.psum(k_sum, axis_name) / (n * k.shape[2])
+        # K-major: Q^T codes straight from the quant kernel — the all-to-all
+        # moves them with seq on the last axis; K rides natural (the K-major
+        # kernel never wants K^T).
         q_codes, q_scale = quant_ops.quant_int8(
-            q, gran="per_token", interpret=interpret
+            q, gran="per_token", layout="ds" if k_major else "ns", interpret=interpret
         )
         k_codes, k_scale = quant_ops.quant_int8(
             k, km, gran="per_token", interpret=interpret
@@ -83,6 +91,23 @@ def ulysses_attention(
         idx = jax.lax.axis_index(axis_name)
         h_loc = v.shape[1] // n  # kv heads per chip (GQA-aware)
         vs_local = jax.lax.dynamic_slice_in_dim(v_scale, idx * h_loc, h_loc, 1)
+        if k_major:
+            # V^T codes on the wire (local [B,H,D,S/n] transpose of the int8
+            # codes is O(S/n) per chip); O^T from the kernel is transposed
+            # back locally before the inverse reshard.
+            oT = lowbit_attention_km(
+                fwd(q_codes, seq_axis=3),
+                fwd(k_codes),
+                fwd(jnp.swapaxes(v_codes, 2, 3), seq_axis=3),
+                fwd(q_scale[..., None])[..., 0],
+                fwd(k_scale[..., None])[..., 0],
+                v_scale=vs_local,
+                is_causal=is_causal,
+                out_dtype=v.dtype,
+                interpret=interpret,
+                **attn_kw,
+            )
+            return bwd(jnp.swapaxes(oT, 2, 3))
         o = lowbit_attention(
             fwd(q_codes),
             fwd(k_codes),

@@ -186,3 +186,13 @@ def test_ring_k_space_matches_q_space(causal):
     ok = make_ring_attention(mesh, is_causal=causal, kernel_space="k")(q, k, v)
     oq = make_ring_attention(mesh, is_causal=causal, kernel_space="q")(q, k, v)
     assert _cos(ok, oq) > 0.9999
+
+
+def test_ulysses_wire_k_space_matches_q_space():
+    q, k, v = _qkv(6)
+    mesh = make_mesh({"seq": 4})
+    ok = make_ulysses_attention(mesh, wire_bits=8, kernel_space="k")(q, k, v)
+    oq = make_ulysses_attention(mesh, wire_bits=8, kernel_space="q")(q, k, v)
+    assert _cos(ok, oq) > 0.9999
+    o_ref = attention_reference(q, k, v)
+    assert _cos(ok, o_ref) > 0.999
