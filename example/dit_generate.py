@@ -25,7 +25,7 @@ from lowbit_quant_fa2_paddle_tpu.models import dit
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--impl", default="int8",
-                   choices=["exact", "fp", "int8", "int8_v8", "int4"])
+                   choices=["exact", "fp", "int8", "int8_v8", "int4", "int8_t", "int4_t"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--full-size", action="store_true",
