@@ -76,6 +76,27 @@ def run_training_step_dryrun(n_devices: int) -> None:
 
     if n_devices >= 2:
         _pipeline_dryrun(min(2, n_devices))
+        _collectives_dryrun(min(4, d_seq * d_data * d_model))
+
+
+def _collectives_dryrun(n: int) -> None:
+    """Quantized ring + Ulysses attention (K-major kernel, int8/int4 wire
+    payloads) over a seq mesh — the distributed inference path."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lowbit_quant_fa2_paddle_tpu.parallel.ring import make_ring_attention
+    from lowbit_quant_fa2_paddle_tpu.parallel.ulysses import make_ulysses_attention
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (1, n, 128 * n, 64), jnp.bfloat16) for kk in ks)
+    o = make_ring_attention(mesh, is_causal=True, k_bits=4, v_bits=8)(q, k, v)
+    jax.block_until_ready(o)
+    assert jnp.isfinite(o.astype(jnp.float32)).all()
+    o = make_ulysses_attention(mesh, wire_bits=8)(q, k, v)
+    jax.block_until_ready(o)
+    assert jnp.isfinite(o.astype(jnp.float32)).all()
 
 
 def _pipeline_dryrun(pp: int) -> None:
