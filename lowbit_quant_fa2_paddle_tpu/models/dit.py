@@ -213,7 +213,7 @@ def _attention_km_native(p: Params, xa: jax.Array, h: int, hd: int,
     from lowbit_quant_fa2_paddle_tpu.ops import quant as quant_ops
     from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention_km
 
-    b, s, d = xa.shape
+    d = xa.shape[-1]
     w3 = p["qkv"]["w"].reshape(d, 3, h, hd)
     b3 = p["qkv"]["b"].reshape(3, h, hd)
     q = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 0]) + b3[0][None, :, None, :]
