@@ -107,7 +107,8 @@ def build_variant(bits, q, k, v, vq_int8, causal, space="k"):
         kp, ks, km = quant_kv_grouped(k, bits=4, group=256)
         vp, vs, vm = quant_kv_grouped(v, bits=4, group=256)
         return (
-            lambda *a: fused_packed_kv_attention(*a, bits=4, is_causal=causal),
+            lambda *a: fused_packed_kv_attention(*a, bits=4, is_causal=causal,
+                                                 kernel_space=space),
             (q, kp, vp, ks, km, vs, vm),
             False,
         )

@@ -186,6 +186,95 @@ def _fused_kv_kernel(
         o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
+def _fused_kv_kernel_km(
+    q_ref,
+    k_ref,
+    ks_ref,
+    km_ref,
+    v_ref,
+    vs_ref,
+    vm_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    causal: bool,
+    bits: int,
+    sm_scale_log2e: float,
+):
+    """K-major twin of ``_fused_kv_kernel`` (see ops/attention._attn_body_km
+    for the schedule rationale): Q^T [D, BQ] float, K packed NATURAL (unpack
+    along lanes), V packed TRANSPOSED [Dp, BK] (unpack along sublanes), scale
+    /mn columns, sublane softmax reductions, full-lane PV, O^T out."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = True
+    if causal:
+        should_run = j * block_kv <= i * block_q + block_q - 1
+
+    @pl.when(should_run)
+    def _compute():
+        qT = q_ref[0, 0].astype(jnp.float32)  # [D, BQ]
+        kc = _unpack_unsigned(k_ref[0, 0], bits).astype(jnp.float32)  # [BK, D]
+        k = kc * ks_ref[0, 0, 0] + km_ref[0, 0, 0]  # fma with [1, D] rows
+        sT = jax.lax.dot_general(
+            k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sT = sT * sm_scale_log2e
+
+        mask = None
+        if causal:
+            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
+            mask = kvrow <= qcol
+        if kv_len % block_kv != 0:
+            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+            inb = kvrow < kv_len
+            mask = inb if mask is None else jnp.logical_and(mask, inb)
+        if mask is not None:
+            sT = jnp.where(mask, sT, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(sT, axis=0, keepdims=True)  # sublane reduce [1, BQ]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        pT = jnp.exp2((sT - m_next[:1]).astype(jnp.bfloat16))
+        l_scr[...] = alpha * l_prev + jnp.sum(pT, axis=0, keepdims=True, dtype=jnp.float32)
+        m_scr[...] = m_next
+
+        # V packed [Dp, BK]: unpack along the SUBLANE axis (axis 0) — the
+        # transposed-space mirror of the lane unpack.
+        p32 = v_ref[0, 0].astype(jnp.int32)
+        if bits == 4:
+            vc = jnp.concatenate([p32 & 0xF, (p32 >> 4) & 0xF], axis=0)
+        else:
+            vc = jnp.concatenate([(p32 >> (2 * n)) & 0x3 for n in range(4)], axis=0)
+        vT = vc.astype(jnp.float32) * vs_ref[0, 0, 0] + vm_ref[0, 0, 0]  # [D,BK]*[D,1]
+        pv = jax.lax.dot_general(
+            vT.astype(jnp.bfloat16), pT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:1] + pv
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_scr[...][:1]
+        o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
 def fused_packed_kv_attention(
     q: jax.Array,
     k_packed: jax.Array,
@@ -200,6 +289,7 @@ def fused_packed_kv_attention(
     sm_scale: Optional[float] = None,
     block_q: int = 512,
     group: int = 256,
+    kernel_space: str = "q",
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -207,6 +297,9 @@ def fused_packed_kv_attention(
 
     q: ``[B, H, Sq, D]`` float; packed tensors from :func:`quant_kv_grouped`
     with the same ``group`` (= kernel kv block size). HND, GQA supported.
+    ``kernel_space="k"`` runs the K-major schedule (sublane softmax,
+    full-lane PV; V codes transposed once at entry — pre-transpose the
+    packed cache at build time to avoid the pass entirely).
     """
     b, h, s_q, d = q.shape
     _, h_kv, s_k, _ = k_packed.shape
@@ -232,9 +325,10 @@ def fused_packed_kv_attention(
 
     grid = (b, h, sq_pad // block_q, sk_pad // block_kv)
     dp = k_packed.shape[-1]
+    k_major = kernel_space == "k"
 
     kernel = functools.partial(
-        _fused_kv_kernel,
+        _fused_kv_kernel_km if k_major else _fused_kv_kernel,
         kv_len=s_k,
         block_q=block_q,
         block_kv=block_kv,
@@ -247,36 +341,61 @@ def fused_packed_kv_attention(
     scale_spec = pl.BlockSpec(
         (1, 1, 1, 1, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0, 0), memory_space=pltpu.VMEM
     )
-    o = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_kv, dp), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0), memory_space=pltpu.VMEM),
-            scale_spec,
-            scale_spec,
-            pl.BlockSpec((1, 1, block_kv, dp), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0), memory_space=pltpu.VMEM),
-            scale_spec,
-            scale_spec,
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype),
-        scratch_shapes=[
+    # V scale/mn as COLUMNS [B, Hk, nG, D, 1] in the K-major schedule.
+    vcol_spec = pl.BlockSpec(
+        (1, 1, 1, d, 1), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0, 0), memory_space=pltpu.VMEM
+    )
+    k_spec = pl.BlockSpec((1, 1, block_kv, dp), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0), memory_space=pltpu.VMEM)
+    if k_major:
+        q_in = jnp.swapaxes(q, 2, 3)
+        v_in = jnp.swapaxes(v_packed, 2, 3)  # [B,Hk,Dp,S]; pre-transpose the
+        # packed cache at build time to skip this pass in serving.
+        q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi), memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((1, 1, dp, block_kv), lambda bi, hi, qi, ki: (bi, hi // g, 0, ki), memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, d, sq_pad), out_dtype)
+        scratch_shapes = [
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+        ]
+        vs_in = jnp.swapaxes(v_scale.astype(jnp.float32)[:, :, :, None, :], 3, 4)
+        vm_in = jnp.swapaxes(v_mn.astype(jnp.float32)[:, :, :, None, :], 3, 4)
+        vs_spec = vm_spec = vcol_spec
+    else:
+        q_in, v_in = q, v_packed
+        q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM)
+        v_spec = k_spec
+        out_specs = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype)
+        scratch_shapes = [
             pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
             pltpu.VMEM((block_q, STATS_WIDTH), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        ]
+        vs_in = v_scale.astype(jnp.float32)[:, :, :, None, :]
+        vm_in = v_mn.astype(jnp.float32)[:, :, :, None, :]
+        vs_spec = vm_spec = scale_spec
+    o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, k_spec, scale_spec, scale_spec, v_spec, vs_spec, vm_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(
-        q,
+        q_in,
         k_packed,
         k_scale.astype(jnp.float32)[:, :, :, None, :],
         k_mn.astype(jnp.float32)[:, :, :, None, :],
-        v_packed,
-        v_scale.astype(jnp.float32)[:, :, :, None, :],
-        v_mn.astype(jnp.float32)[:, :, :, None, :],
+        v_in,
+        vs_in,
+        vm_in,
     )
+    if k_major:
+        return jnp.swapaxes(o, 2, 3)[:, :, :s_q]
     return o[:, :, :s_q]

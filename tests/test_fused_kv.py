@@ -80,3 +80,28 @@ def test_fused_kv_exact_on_grid_values():
     )
     o_ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=5e-3, rtol=1e-2)
+
+
+def test_k_major_schedule_matches_q_major():
+    import jax
+    import jax.numpy as jnp
+
+    from lowbit_quant_fa2_paddle_tpu.ops.fused_kv import (
+        fused_packed_kv_attention,
+        quant_kv_grouped,
+    )
+    from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (2, 4, 300, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (2, 2, 520, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (2, 2, 520, 64), jnp.float32)
+    for bits in (4, 2):
+        kp, kss, kmn = quant_kv_grouped(k, bits=bits, group=256)
+        vp, vs, vm = quant_kv_grouped(v, bits=bits, group=256)
+        for causal in (False, True):
+            oq = fused_packed_kv_attention(q, kp, vp, kss, kmn, vs, vm, bits=bits,
+                                           is_causal=causal, group=256, kernel_space="q")
+            ok = fused_packed_kv_attention(q, kp, vp, kss, kmn, vs, vm, bits=bits,
+                                           is_causal=causal, group=256, kernel_space="k")
+            assert float(cosine_similarity(oq, ok)) > 0.9999
