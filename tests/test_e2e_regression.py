@@ -33,7 +33,8 @@ def _generate(params, cfg, impl, steps=5, seq=256):
 def test_e2e_int8_regression(setup):
     cfg, params = setup
     base = _generate(params, cfg, "exact")
-    for impl, cos_min in [("fp", 0.999), ("int8", 0.99), ("int8_v8", 0.99), ("int4", 0.95)]:
+    for impl, cos_min in [("fp", 0.999), ("int8", 0.99), ("int8_v8", 0.99),
+                          ("int4", 0.95), ("int8_t", 0.99), ("int4_t", 0.95)]:
         out = _generate(params, cfg, impl)
         cos = float(cosine_similarity(out, base))
         assert cos > cos_min, (impl, cos)
