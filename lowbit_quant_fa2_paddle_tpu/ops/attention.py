@@ -123,6 +123,7 @@ def _attn_body_km(
     k_pack_bits: int,
     v_quantized: bool,
     pv_int8: bool = False,
+    v_natural: bool = False,
     smooth_v: bool,
     has_segments: bool,
     has_bias: bool,
@@ -277,24 +278,30 @@ def _attn_body_km(
         l_scr[...] = alpha * l_prev + l_curr
         m_scr[...] = m_next
 
-        vT = v_ref[0, 0]  # [D, BK]
+        v_t = v_ref[0, 0]  # [D, BK] transposed, or [BK, D] when v_natural
         if mask_v_edge:
             cols_left = kv_len - j * block_kv
-            vcol = jax.lax.broadcasted_iota(jnp.int32, vT.shape, 1)
-            vT = jnp.where(vcol < cols_left, vT, 0)
+            kv_axis = 0 if v_natural else 1
+            vkv = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, kv_axis)
+            v_t = jnp.where(vkv < cols_left, v_t, 0)
+        # v_natural consumes the NATURAL [BK, D] tile by contracting ITS
+        # dim 0 in the dot's dimension numbers — no transpose materializes;
+        # trades the whole-tensor V^T HBM pass for the MXU's [K, M]-layout
+        # lhs feed. Measure both (hw_runbook) — layout rates differ.
+        dnums = (((0,), (0,)), ((), ())) if v_natural else (((1,), (0,)), ((), ()))
         if v_quantized and pv_int8:
             # True INT8 P@V (see _attn_body's pv_int8 note — the TPU analog
             # of the reference's FP8 P conversion): static scale 127 on the
             # softmax weights, int32 accumulate, 1/127 undo.
             p8 = (pT.astype(jnp.float32) * 127.0 + 0.5).astype(jnp.int8)
             pv = jax.lax.dot_general(
-                vT, p8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                v_t, p8, dnums, preferred_element_type=jnp.int32
             ).astype(jnp.float32) * (1.0 / 127.0)
         else:
             pv = jax.lax.dot_general(
-                vT.astype(pv_dtype),
+                v_t.astype(pv_dtype),
                 pT.astype(pv_dtype),
-                (((1,), (0,)), ((), ())),
+                dnums,
                 preferred_element_type=jnp.float32,
             )
         acc_scr[...] = acc_scr[...] * alpha[:1] + pv
@@ -840,6 +847,7 @@ def lowbit_attention(
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         pv_int8=pv_int8,
+        v_natural=v_natural,
         smooth_v=smooth_v,
         has_segments=has_segments,
         has_bias=has_bias,
@@ -924,6 +932,7 @@ def lowbit_attention_km(
     k_pack_bits: int = 8,
     fused_quant_q: bool = False,
     pv_int8: bool = False,
+    v_natural: bool = False,
     logit_cap: float = 0.0,
     pv_dtype=jnp.bfloat16,
     block_q: int = 2048,
@@ -1018,10 +1027,14 @@ def lowbit_attention_km(
         q_spec = pl.BlockSpec((1, 1, block_q, d), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM)
     else:
         q_spec = pl.BlockSpec((1, 1, d, block_q), IM(lambda bi, hi, qi, ki: (bi, hi, 0, qi)), memory_space=pltpu.VMEM)
+    if v_natural:
+        v_spec = pl.BlockSpec((1, 1, block_kv, d), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM)
+    else:
+        v_spec = pl.BlockSpec((1, 1, d, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM)
     in_specs = [
         q_spec,
         pl.BlockSpec((1, 1, block_kv, d_k), IM(lambda bi, hi, qi, ki: (bi, hi // group, ki, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, d, block_kv), IM(lambda bi, hi, qi, ki: (bi, hi // group, 0, ki)), memory_space=pltpu.VMEM),
+        v_spec,
     ]
     args = [qT, k, vT]
     if fused_quant_q:
@@ -1091,6 +1104,7 @@ def lowbit_attention_km(
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         pv_int8=pv_int8,
+        v_natural=v_natural,
         smooth_v=smooth_v,
         has_segments=has_segments,
         has_bias=has_bias,

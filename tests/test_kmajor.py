@@ -124,3 +124,13 @@ def test_single_block_small_seq():
     oT = lowbit_attention_km(qTc, kc, jnp.swapaxes(v, 2, 3), qTs, ksc,
                              block_q=128, block_kv=128)
     assert float(cosine_similarity(o, jnp.swapaxes(oT, 2, 3))) > 0.9999
+
+
+def test_v_natural_matches_v_transposed(data):
+    # v_natural consumes the natural [BK, D] tile via dot dimension numbers
+    # (no V^T pass); same math, different MXU feed layout -> agree to
+    # operand-precision ulp.
+    oT = _k_major(data)
+    oN = lowbit_attention_km(data["qTc"], data["kc"], data["v"], data["qTs"],
+                             data["ksc"], v_natural=True, block_q=256, block_kv=128)
+    assert float(cosine_similarity(oT, oN)) > 0.99999
