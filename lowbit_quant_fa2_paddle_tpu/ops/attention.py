@@ -847,7 +847,6 @@ def lowbit_attention(
         k_pack_bits=k_pack_bits,
         v_quantized=v_quantized,
         pv_int8=pv_int8,
-        v_natural=v_natural,
         smooth_v=smooth_v,
         has_segments=has_segments,
         has_bias=has_bias,
