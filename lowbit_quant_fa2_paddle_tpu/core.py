@@ -106,6 +106,20 @@ def _finish_lse(lse2: jax.Array, q: jax.Array, km: Optional[jax.Array], sm_scale
     return lse
 
 
+def _smooth_q_bias(qm, kp, km, sm_scale):
+    """Per-key smooth-Q correction ``qm @ (K - km)^T * sm_scale``
+    [B, H, 1, Sk] (GQA-aware). Exactness argument in the smooth_q note."""
+    b, h = qm.shape[0], qm.shape[1]
+    hk = kp.shape[1]
+    g = h // hk
+    kf = kp.astype(jnp.float32)
+    if km is not None:
+        kf = kf - km.astype(jnp.float32)
+    qm_g = qm[:, :, 0, :].reshape(b, hk, g, -1)
+    corr = jnp.einsum("bkgd,bksd->bkgs", qm_g, kf).reshape(b, h, -1)
+    return (corr * sm_scale)[:, :, None, :]
+
+
 def lowbit_fa_qk_int8_pv_fp16(
     q: jax.Array,
     k: jax.Array,
@@ -120,6 +134,7 @@ def lowbit_fa_qk_int8_pv_fp16(
     smooth_v: bool = False,
     return_lse: bool = False,
     *,
+    smooth_q: bool = False,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -191,11 +206,22 @@ def lowbit_fa_qk_int8_pv_fp16(
         k_codes, k_scale = quant_ops.quant_int8(
             kp, km, gran=gk, block=bk, backend=backend, interpret=interpret
         )
+        # Smooth-Q (SageAttention2-class outlier smoothing, exact): subtract
+        # the per-channel Q mean before quantization and add the row-varying
+        # correction qm @ (K - km)^T back as a per-key bias — softmax is
+        # exact because the remaining q @ km term is row-constant. Finer Q
+        # scales when Q carries a common channel component (e.g. RoPE-free
+        # sink heads); the LSE correction below still uses the ORIGINAL q.
+        qq, bias = qp, None
+        if smooth_q:
+            qm = jnp.mean(qp.astype(jnp.float32), axis=2, keepdims=True)  # [B,H,1,D]
+            qq = (qp.astype(jnp.float32) - qm).astype(qp.dtype)
+            bias = _smooth_q_bias(qm, kp, km, sm_scale)
         if fuse_q:
-            q_in, q_scale = qp, None
+            q_in, q_scale = qq, None
         else:
             q_in, q_scale = quant_ops.quant_int8(
-                qp, gran=gq, block=bq, backend=backend, layout="ds", interpret=interpret
+                qq, gran=gq, block=bq, backend=backend, layout="ds", interpret=interpret
             )
         v_mean = None
         v_in = v
@@ -210,6 +236,7 @@ def lowbit_fa_qk_int8_pv_fp16(
             q_scale,
             k_scale,
             fused_quant_q=bool(fuse_q),
+            bias=bias,
             v_mean=v_mean,
             is_causal=is_causal,
             sm_scale=sm_scale,
@@ -404,6 +431,7 @@ def lowbit_fa_qk_int4_pv_fp16(
     smooth_k: bool = True,
     return_lse: bool = False,
     *,
+    smooth_q: bool = False,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -435,11 +463,19 @@ def lowbit_fa_qk_int4_pv_fp16(
         gq, bq = _gran_block(qk_quant_gran, "q")
         gk, bk = _gran_block(qk_quant_gran, "k")
         fuse_q = bool(fuse_quant)  # auto=external until hardware-verified
+        qq, bias = qp, None
+        if smooth_q:
+            # Smooth-Q matters most here: int4-K pairs with int8-Q, and a
+            # common Q channel component eats the 8-bit budget (see the int8
+            # wrapper's smooth_q note for the exactness argument).
+            qm = jnp.mean(qp.astype(jnp.float32), axis=2, keepdims=True)
+            qq = (qp.astype(jnp.float32) - qm).astype(qp.dtype)
+            bias = _smooth_q_bias(qm, kp, km, sm_scale)
         if fuse_q:
-            q_in, q_scale = qp, None
+            q_in, q_scale = qq, None
         else:
             q_in, q_scale = quant_ops.quant_int8(
-                qp, gran=gq, block=bq, layout="ds", interpret=interpret
+                qq, gran=gq, block=bq, layout="ds", interpret=interpret
             )
         k_packed, k_scale = quant_ops.quant_int4(kp, km, gran=gk, block=bk, interpret=interpret)
         out = lowbit_attention_km(
@@ -449,6 +485,7 @@ def lowbit_fa_qk_int4_pv_fp16(
             q_scale,
             k_scale,
             fused_quant_q=bool(fuse_q),
+            bias=bias,
             k_packed_int4=True,
             is_causal=is_causal,
             sm_scale=sm_scale,

@@ -147,3 +147,34 @@ def test_pv_int8_both_spaces(space):
                                      kernel_space=space, pv_int8=True)
     ref = attention_reference(q, k, v, is_causal=True)
     assert _cos(o, ref) > 0.999
+
+
+@pytest.mark.parametrize("name", ["int8", "int4"])
+def test_smooth_q_exact_and_helps_outliers(name):
+    # Q with a large common channel component (attention-sink style): the
+    # per-token scale is dominated by it, so quantization coarsens. smooth_q
+    # removes it exactly (bias = qm @ (K-km)^T rides the kernel's per-key
+    # bias path) — accuracy must improve, never regress.
+    fn, _ = WRAPPERS[name]
+    q, k, v = _qkv(key=12)
+    offset = jnp.zeros((1, 1, 1, 64)).at[..., :8].set(30.0)
+    q = q + offset
+    ref = attention_reference(q, k, v, is_causal=True)
+    cos_plain = _cos(fn(q, k, v, is_causal=True), ref)
+    cos_sq = _cos(fn(q, k, v, is_causal=True, smooth_q=True), ref)
+    assert cos_sq >= cos_plain - 1e-6
+    assert cos_sq > 0.999
+    # and on well-behaved Q it must stay exact-class
+    q2, k2, v2 = _qkv(key=13)
+    ref2 = attention_reference(q2, k2, v2, is_causal=True)
+    assert _cos(fn(q2, k2, v2, is_causal=True, smooth_q=True), ref2) > (0.999 if name == "int8" else 0.99)
+
+
+def test_smooth_q_lse_contract():
+    q, k, v = _qkv(key=14)
+    q = q + jnp.zeros((1, 1, 1, 64)).at[..., :4].set(10.0)
+    o, lse = lq.lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=True,
+                                          smooth_q=True, return_lse=True)
+    ref_o, ref_lse = attention_reference(q, k, v, is_causal=True, return_lse=True)
+    assert _cos(o, ref_o) > 0.999
+    assert float(jnp.max(jnp.abs(lse - ref_lse))) < 0.05
