@@ -36,8 +36,6 @@ from lowbit_quant_fa2_paddle_tpu.ops.attention import (
     MASK_VALUE,
     NEG_INIT,
     STATS_WIDTH,
-    _unpack_int2_quarters,
-    _unpack_int4_halves,
 )
 from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
 from lowbit_quant_fa2_paddle_tpu.ops.reference import round_away
