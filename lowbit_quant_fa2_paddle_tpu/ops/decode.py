@@ -336,6 +336,11 @@ def decode_attention(
             jax.ShapeDtypeStruct((b, hk, g_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b, hk, g_pad, 1), jnp.float32),
         ],
+        # Only the page dim carries the online-softmax scratch; batch/head
+        # are parallel so multi-core generations (megacore) can split them.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *args)
     o = out[:, :, :g].reshape(b, h, d)
