@@ -134,3 +134,27 @@ def test_v_natural_matches_v_transposed(data):
     oN = lowbit_attention_km(data["qTc"], data["kc"], data["v"], data["qTs"],
                              data["ksc"], v_natural=True, block_q=256, block_kv=128)
     assert float(cosine_similarity(oT, oN)) > 0.99999
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_hd128_gqa(causal):
+    # hd128 at the kernel level (the public-API grid covers hd128 only via
+    # the wrapper): K-major vs Q-major with GQA and ragged seqs, plus the
+    # fused-Q variant, ahead of the hd128 hardware autotune.
+    b, h, hk, sq, sk, d = 1, 4, 2, 260, 390, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hk, sk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hk, sk, d), jnp.float32)
+    qc, qs = q_ops.quant_int8(q, gran="per_token")
+    qTc, qTs = q_ops.quant_int8(q, gran="per_token", layout="ds")
+    kc, ksc = q_ops.quant_int8(k, gran="per_token")
+    o = lowbit_attention(qc, kc, v, qs, ksc, is_causal=causal,
+                         block_q=128, block_kv=128)
+    oT = lowbit_attention_km(qTc, kc, jnp.swapaxes(v, 2, 3), qTs, ksc,
+                             is_causal=causal, block_q=256, block_kv=128)
+    assert float(cosine_similarity(o, jnp.swapaxes(oT, 2, 3))) > 0.9999
+    oF = lowbit_attention_km(q, kc, jnp.swapaxes(v, 2, 3), k_scale=ksc,
+                             fused_quant_q=True, is_causal=causal,
+                             block_q=256, block_kv=128)
+    assert float(cosine_similarity(oT, oF)) > 0.99999
