@@ -392,3 +392,82 @@ def wq_matmul_fused(
         sigma = xf.astype(jnp.float32).reshape(m, g_total, group_size).sum(-1)
         out = (out.astype(jnp.float32) + sigma @ mn.T.astype(jnp.float32)).astype(x.dtype)
     return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (training through frozen quantized weights)
+# ---------------------------------------------------------------------------
+
+
+def dequant_weights(
+    packed: jax.Array,
+    scale: jax.Array,
+    mn: Optional[jax.Array] = None,
+    *,
+    bits: int,
+    group_size: Optional[int] = None,
+) -> jax.Array:
+    """Materialize the f32 ``[N, K]`` weight matrix from either storage
+    format: grouped-asymmetric (:func:`pack_weights`; ``mn`` + ``scale [N,
+    G]``) or symmetric per-channel (:func:`pack_weights_per_channel`;
+    ``scale [N]``, 4-bit stored unsigned-biased). Reference
+    ``dequantize_weight`` (qmodule.py:13-30)."""
+    n = packed.shape[0]
+    if scale.ndim == 1:  # per-channel symmetric
+        if bits == 8:
+            codes = packed.astype(jnp.float32)
+        else:
+            codes = (unpack_weights(packed, bits=4) - 7).astype(jnp.float32)
+        return codes * scale.astype(jnp.float32)[:, None]
+    assert group_size is not None
+    codes = unpack_weights(packed, bits=bits).astype(jnp.float32)
+    g_total = codes.shape[1] // group_size
+    w = codes.reshape(n, g_total, group_size) * scale.astype(jnp.float32)[..., None]
+    if mn is not None:
+        w = w + mn.astype(jnp.float32)[..., None]
+    return w.reshape(n, codes.shape[1])
+
+
+def wq_matmul_trainable(
+    x: jax.Array,
+    packed: jax.Array,
+    scale: jax.Array,
+    mn: Optional[jax.Array] = None,
+    *,
+    bits: int = 4,
+    group_size: Optional[int] = 128,
+    **kw,
+) -> jax.Array:
+    """Differentiable ``x @ W^T`` over frozen packed weights — the
+    TPU-native ``MatMul4Bit`` / ``WQLinearForTrain`` (reference
+    qmodule.py:33-75): forward runs the fused packed-weight kernel
+    (weights never materialize in HBM); backward re-derives the dense
+    weight and returns ``dL/dx = g @ W_deq``, exactly the reference's
+    backward. The packed codes/scales are frozen (no weight cotangent),
+    matching the reference where only activations (LoRA-style tuning,
+    upstream layers) receive gradients.
+
+    ``scale.ndim == 1`` selects the per-channel symmetric format
+    (:func:`wq_matmul_per_channel`), else grouped-asymmetric
+    (:func:`wq_matmul_fused`).
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        if scale.ndim == 1:
+            return wq_matmul_per_channel(x, packed, scale, bits=bits, **kw)
+        return wq_matmul_fused(
+            x, packed, scale, mn, bits=bits, group_size=group_size, **kw
+        )
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        w = dequant_weights(packed, scale, mn, bits=bits, group_size=group_size)
+        wt = w.astype(jnp.bfloat16 if g.dtype != jnp.float32 else jnp.float32)
+        gx = jnp.einsum("...n,nk->...k", g, wt).astype(g.dtype)
+        return (gx,)
+
+    f.defvjp(fwd, bwd)
+    return f(x)

@@ -127,10 +127,18 @@ class WQLinear:
     ``backend="fused"`` stores the parts-of-K byte layout and runs the
     Pallas fused kernel (ops/gemv.py — packed bytes stream through VMEM
     once); ``"host"`` keeps the KIVI int32-word layout with
-    unpack-then-MXU-matmul (the cache-interchange format)."""
+    unpack-then-MXU-matmul (the cache-interchange format).
+
+    ``trainable=True`` makes the layer differentiable wrt its INPUT (and
+    bias) with the weights frozen — the reference's ``WQLinearForTrain`` /
+    ``MatMul4Bit`` autograd function (qmodule.py:33-112): backward is
+    ``g @ W_deq`` through the dequantized weight. The host backend is
+    natively differentiable (jnp dequant + einsum under autodiff); the
+    fused backend routes through ``gemv.wq_matmul_trainable``'s
+    custom_vjp."""
 
     def __init__(self, packed_w, scale, mn, bias, group_size: int, bits: int,
-                 backend: str = "host"):
+                 backend: str = "host", trainable: bool = False):
         self.packed_w = packed_w
         self.scale = scale
         self.mn = mn
@@ -138,10 +146,11 @@ class WQLinear:
         self.group_size = group_size
         self.bits = bits
         self.backend = backend
+        self.trainable = trainable
 
     @classmethod
     def from_dense(cls, w: jax.Array, bias=None, *, group_size: int = 128,
-                   bits: int = 4, backend: str = "host"):
+                   bits: int = 4, backend: str = "host", trainable: bool = False):
         if backend == "fused":
             from lowbit_quant_fa2_paddle_tpu.ops import gemv
 
@@ -150,13 +159,14 @@ class WQLinear:
             packed, scale, mn = quantize_and_pack_along_last_dim(
                 w, group_size=group_size, bits=bits
             )
-        return cls(packed, scale, mn, bias, group_size, bits, backend)
+        return cls(packed, scale, mn, bias, group_size, bits, backend, trainable)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.backend == "fused":
             from lowbit_quant_fa2_paddle_tpu.ops import gemv
 
-            y = gemv.wq_matmul_fused(
+            mm = gemv.wq_matmul_trainable if self.trainable else gemv.wq_matmul_fused
+            y = mm(
                 x, self.packed_w, self.scale, self.mn,
                 bits=self.bits, group_size=self.group_size,
             )

@@ -99,3 +99,55 @@ def test_wqlinear_fused_backend():
     np.testing.assert_allclose(
         np.asarray(y_fused, np.float32), np.asarray(y_host, np.float32), rtol=3e-3, atol=3e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable path (MatMul4Bit / WQLinearForTrain parity)
+# ---------------------------------------------------------------------------
+
+
+def _loss_and_grad(fn, x):
+    return jax.value_and_grad(lambda x: jnp.sum(jnp.sin(fn(x))))(x)
+
+
+@pytest.mark.parametrize("fmt", ["grouped", "per_channel8", "per_channel4"])
+def test_wq_matmul_trainable_grad_matches_dequant(fmt):
+    """custom_vjp activation grad == autodiff through the dequantized dense
+    weight (the reference MatMul4Bit.backward contract, qmodule.py:47-63)."""
+    w, x = _wx(m=5, key=20)
+    if fmt == "grouped":
+        p, s, mn = gemv.pack_weights(w, group_size=128, bits=4)
+        fused = lambda x: gemv.wq_matmul_trainable(x, p, s, mn, bits=4, group_size=128)
+        w_deq = gemv.dequant_weights(p, s, mn, bits=4, group_size=128)
+    else:
+        bits = 8 if fmt == "per_channel8" else 4
+        p, s = gemv.pack_weights_per_channel(w, bits=bits)
+        fused = lambda x: gemv.wq_matmul_trainable(x, p, s, bits=bits)
+        w_deq = gemv.dequant_weights(p, s, bits=bits)
+    dense = lambda x: jnp.einsum("mk,nk->mn", x, w_deq)
+
+    y_f, g_f = _loss_and_grad(fused, x)
+    y_d, g_d = _loss_and_grad(dense, x)
+    # forward: fused kernel vs dense dequant matmul (same codes)
+    np.testing.assert_allclose(float(y_f), float(y_d), rtol=2e-3)
+    # backward: analytically identical (g @ W_deq) up to the f32/bf16 cast
+    assert float(metrics.cosine_similarity(g_f, g_d)) > 0.9995
+
+
+def test_wqlinear_trainable_end_to_end():
+    """Grad flows through a trainable WQLinear stack (both backends) and the
+    frozen weights receive none — reference WQLinearForTrain semantics."""
+    from lowbit_quant_fa2_paddle_tpu.ops.pack import WQLinear
+
+    w, x = _wx(m=4, key=22)
+    for backend in ("host", "fused"):
+        lin = WQLinear.from_dense(w, bias=jnp.zeros((384,)), group_size=128,
+                                  bits=4, backend=backend, trainable=True)
+
+        def loss(x, b):
+            lin.bias = b
+            return jnp.sum(lin(x) ** 2)
+
+        gx, gb = jax.grad(loss, argnums=(0, 1))(x, jnp.zeros((384,)))
+        assert gx.shape == x.shape and bool(jnp.any(gx != 0))
+        assert gb.shape == (384,) and bool(jnp.any(gb != 0))
