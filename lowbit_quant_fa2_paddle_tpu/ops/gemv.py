@@ -192,11 +192,7 @@ def wq_matmul_per_channel(
         # matmul at full MXU rate. The fused streaming kernel is the
         # DECODE-shape (small-M, weight-bandwidth-bound) path; at the
         # 17776-token video shape it measured ~30% slower than dense.
-        if bits == 8:
-            w = packed.astype(jnp.float32) * scale[:, None]
-        else:
-            codes = unpack_weights(packed, bits=4) - 7  # unsigned-biased store
-            w = codes.astype(jnp.float32) * scale[:, None]
+        w = dequant_weights(packed, scale, bits=bits)
         wt = w.astype(jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32)
         return jnp.einsum("...k,nk->...n", x, wt).astype(x.dtype)
     if bits == 4:
@@ -342,11 +338,8 @@ def wq_matmul_fused(
     if m >= 1024:
         # Prefill-sized M: dequant once (XLA) + dense MXU matmul — see the
         # per-channel routing note.
-        codes = unpack_weights(packed, bits=bits).astype(jnp.float32)
-        w = codes.reshape(n, g_total, group_size) * scale[..., None]
-        if mn is not None:
-            w = w + mn[..., None]
-        wt = w.reshape(n, k).astype(jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32)
+        w = dequant_weights(packed, scale, mn, bits=bits, group_size=group_size)
+        wt = w.astype(jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32)
         return jnp.einsum("mk,nk->mn", xf, wt).astype(x.dtype).reshape(*lead, n)
 
     # Each part must cover whole groups (group_size | K/fpb). Grid has a
@@ -440,21 +433,31 @@ def wq_matmul_trainable(
 ) -> jax.Array:
     """Differentiable ``x @ W^T`` over frozen packed weights — the
     TPU-native ``MatMul4Bit`` / ``WQLinearForTrain`` (reference
-    qmodule.py:33-75): forward runs the fused packed-weight kernel
-    (weights never materialize in HBM); backward re-derives the dense
-    weight and returns ``dL/dx = g @ W_deq``, exactly the reference's
-    backward. The packed codes/scales are frozen (no weight cotangent),
-    matching the reference where only activations (LoRA-style tuning,
-    upstream layers) receive gradients.
+    qmodule.py:33-75): forward runs the fused packed-weight kernel (for
+    small-m/decode shapes the packed bytes stream through VMEM without a
+    dense-W materialization; the m>=1024 prefill route and every backward
+    dequantize W once); backward returns ``dL/dx = g @ W_deq``, exactly
+    the reference's backward. The quantization params are frozen
+    (``stop_gradient``; no weight cotangent), matching the reference where
+    only activations (LoRA-style tuning, upstream layers) receive
+    gradients.
 
     ``scale.ndim == 1`` selects the per-channel symmetric format
     (:func:`wq_matmul_per_channel`), else grouped-asymmetric
     (:func:`wq_matmul_fused`).
+
+    Reverse-mode only (``custom_vjp``): ``jax.jvp``/``jacfwd`` raise on
+    this path — use the natively-differentiable host backend
+    (``pack.quantized_matmul``) for forward-mode.
     """
+    packed = jax.lax.stop_gradient(packed)
+    scale = jax.lax.stop_gradient(scale)
+    mn = jax.lax.stop_gradient(mn) if mn is not None else None
 
     @jax.custom_vjp
     def f(x):
         if scale.ndim == 1:
+            assert mn is None, "per-channel symmetric format has no zero-points"
             return wq_matmul_per_channel(x, packed, scale, bits=bits, **kw)
         return wq_matmul_fused(
             x, packed, scale, mn, bits=bits, group_size=group_size, **kw

@@ -130,12 +130,14 @@ class WQLinear:
     unpack-then-MXU-matmul (the cache-interchange format).
 
     ``trainable=True`` makes the layer differentiable wrt its INPUT (and
-    bias) with the weights frozen — the reference's ``WQLinearForTrain`` /
-    ``MatMul4Bit`` autograd function (qmodule.py:33-112): backward is
-    ``g @ W_deq`` through the dequantized weight. The host backend is
-    natively differentiable (jnp dequant + einsum under autodiff); the
-    fused backend routes through ``gemv.wq_matmul_trainable``'s
-    custom_vjp."""
+    bias) with the quantization params frozen (``stop_gradient`` on
+    packed/scale/mn for BOTH backends) — the reference's
+    ``WQLinearForTrain`` / ``MatMul4Bit`` autograd function
+    (qmodule.py:33-112): backward is ``g @ W_deq`` through the
+    dequantized weight. The host backend differentiates natively (jnp
+    dequant + einsum under autodiff, forward-mode included); the fused
+    backend routes through ``gemv.wq_matmul_trainable``'s custom_vjp
+    (reverse-mode only)."""
 
     def __init__(self, packed_w, scale, mn, bias, group_size: int, bits: int,
                  backend: str = "host", trainable: bool = False):
@@ -162,17 +164,22 @@ class WQLinear:
         return cls(packed, scale, mn, bias, group_size, bits, backend, trainable)
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        pw, sc, mn = self.packed_w, self.scale, self.mn
+        if self.trainable:  # freeze quantization params on EVERY backend
+            pw = jax.lax.stop_gradient(pw)
+            sc = jax.lax.stop_gradient(sc)
+            mn = jax.lax.stop_gradient(mn) if mn is not None else None
         if self.backend == "fused":
             from lowbit_quant_fa2_paddle_tpu.ops import gemv
 
             mm = gemv.wq_matmul_trainable if self.trainable else gemv.wq_matmul_fused
             y = mm(
-                x, self.packed_w, self.scale, self.mn,
+                x, pw, sc, mn,
                 bits=self.bits, group_size=self.group_size,
             )
         else:
             y = quantized_matmul(
-                x, self.packed_w, self.scale, self.mn,
+                x, pw, sc, mn,
                 group_size=self.group_size, bits=self.bits,
             )
         if self.bias is not None:
