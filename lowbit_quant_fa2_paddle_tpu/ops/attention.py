@@ -43,6 +43,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,10 +62,12 @@ NEG_INIT = -1e30
 # reshapes outside the kernel, and neither needs an in-kernel relayout.
 
 
-def _unpack_int4_halves(packed: jax.Array) -> jax.Array:
-    """Nibble-packed int4 [N, D/2] int8 -> [N, D] int8 (halves-of-D scheme:
-    low nibble of byte i is column i, high nibble is column i + D/2; see
-    ops/quant.py packing notes).
+def _unpack_int4_halves(packed: jax.Array, axis: int = -1) -> jax.Array:
+    """Nibble-packed int4 int8 codes -> int8 values, doubling ``axis``
+    (halves-of-D scheme: low nibble of byte i is feature i, high nibble is
+    feature i + D/2; see ops/quant.py packing notes). ``axis`` is the packed
+    feature axis — -1 for natural [N, D/2] tiles, 0 for pre-transposed
+    [D/2, N] tiles.
 
     Shifts run in int32 — Mosaic cannot legalize vector shifts on i8 — and
     the sign-extended int32 nibbles are truncated back to int8 for the MXU
@@ -72,17 +75,45 @@ def _unpack_int4_halves(packed: jax.Array) -> jax.Array:
     p32 = packed.astype(jnp.int32)  # sign-extends the byte
     lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
     hi = jax.lax.shift_right_arithmetic(p32, 4)  # signed high nibble
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=axis).astype(jnp.int8)
 
 
-def _unpack_int2_quarters(packed: jax.Array) -> jax.Array:
+def _unpack_int2_quarters(packed: jax.Array, axis: int = -1) -> jax.Array:
     """2-bit codes, four per byte in quarters-of-D order -> int8."""
     p32 = packed.astype(jnp.int32)
     parts = [
         jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * i), 30)
         for i in range(4)
     ]
-    return jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+    return jnp.concatenate(parts, axis=axis).astype(jnp.int8)
+
+
+def _tri_schedule(nq: int, nk_blocks: int, block_q: int, block_kv: int):
+    """Scalar-prefetch tables for the causal triangular grid: one entry per
+    at-or-below-diagonal (q-block, kv-block) pair plus a last-visit flag —
+    shared by both kernel schedules so the two can never desynchronize."""
+    i_list, j_list, last_list = [], [], []
+    for qi in range(nq):
+        j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
+        for ki in range(j_max):
+            i_list.append(qi)
+            j_list.append(ki)
+            last_list.append(1 if ki == j_max - 1 else 0)
+    return (
+        jnp.asarray(np.array(i_list, np.int32)),
+        jnp.asarray(np.array(j_list, np.int32)),
+        jnp.asarray(np.array(last_list, np.int32)),
+        len(i_list),
+    )
+
+
+def _im_tri(f):
+    """Index-map wrapper for the triangular grid (scalar-prefetch args)."""
+    return lambda bi, hi, ti, itb, jtb, ltb: f(bi, hi, itb[ti], jtb[ti])
+
+
+def _im_rect(f):
+    return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
 
 
 def _attn_kernel_rect(*refs, k_major: bool = False, **params):
@@ -220,17 +251,9 @@ def _attn_body_km(
         if k_pack_bits == 4:
             # K natural [BK, D/2]: halves-of-D nibble unpack along the lane
             # (feature) axis — the same scheme as ops/quant nibble packing.
-            p32 = k.astype(jnp.int32)
-            lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
-            hi = jax.lax.shift_right_arithmetic(p32, 4)
-            k = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+            k = _unpack_int4_halves(k)
         elif k_pack_bits == 2:
-            p32 = k.astype(jnp.int32)
-            parts = [
-                jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * n), 30)
-                for n in range(4)
-            ]
-            k = jnp.concatenate(parts, axis=-1).astype(jnp.int8)
+            k = _unpack_int2_quarters(k)
 
         if quantized_qk or fused_quant_q:
             sT = jax.lax.dot_general(
@@ -257,7 +280,9 @@ def _attn_body_km(
             qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
             mask = kvrow <= qcol
         if kv_len % block_kv != 0:
-            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+            # [BK, 1] column predicate — broadcasts over q lanes, so interior
+            # blocks pay a vector (not tile) iota+compare.
+            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + j * block_kv
             inb = kvrow < kv_len
             mask = inb if mask is None else jnp.logical_and(mask, inb)
         if has_segments:
@@ -282,7 +307,8 @@ def _attn_body_km(
         if mask_v_edge:
             cols_left = kv_len - j * block_kv
             kv_axis = 0 if v_natural else 1
-            vkv = jax.lax.broadcasted_iota(jnp.int32, v_t.shape, kv_axis)
+            vec_shape = (v_t.shape[0], 1) if v_natural else (1, v_t.shape[1])
+            vkv = jax.lax.broadcasted_iota(jnp.int32, vec_shape, kv_axis)
             v_t = jnp.where(vkv < cols_left, v_t, 0)
         # v_natural consumes the NATURAL [BK, D] tile by contracting ITS
         # dim 0 in the dot's dimension numbers — no transpose materializes;
@@ -314,10 +340,14 @@ def _attn_body_km(
         if v_quantized:
             o = o * vs_ref[0, 0]  # [D, 1] column scale
         if smooth_v:
-            o = o + vm_ref[0, 0]
+            # Rows with zero valid keys keep the zero-output contract —
+            # the mean add only applies where softmax actually ran.
+            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
         o_ref[0, 0] = o.astype(o_ref.dtype)
         m = m_scr[...][:1]
-        lse_ref[0, 0] = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # [1, BQ]
+        # Zero-valid-key rows emit the NEG_INIT sentinel so LSE-weighted
+        # recombination (ring) gives them weight 0.
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INIT, m + jnp.log2(l_safe))
 
 
 def _attn_body(
@@ -450,17 +480,9 @@ def _attn_body(
             # Q quant's HBM round trip is deleted. The long-seq sweet spot.
             ks_tile = ks_ref[0, 0]  # [1, BK]
         if k_pack_bits == 4:
-            p32 = kt.astype(jnp.int32)
-            lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
-            hi = jax.lax.shift_right_arithmetic(p32, 4)
-            kt = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)  # [D, BK]
+            kt = _unpack_int4_halves(kt, axis=0)  # [D, BK]
         elif k_pack_bits == 2:
-            p32 = kt.astype(jnp.int32)
-            parts = [
-                jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 30 - 2 * i), 30)
-                for i in range(4)
-            ]
-            kt = jnp.concatenate(parts, axis=0).astype(jnp.int8)
+            kt = _unpack_int2_quarters(kt, axis=0)
 
         if quantized_qk:
             s = jax.lax.dot_general(
@@ -492,7 +514,9 @@ def _attn_body(
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
             mask = col <= row
         if kv_len % block_kv != 0:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+            # [1, BK] row predicate — broadcasts over q rows, so interior
+            # blocks pay a vector (not tile) iota+compare.
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1) + j * block_kv
             inb = col < kv_len
             mask = inb if mask is None else jnp.logical_and(mask, inb)
         if has_segments:
@@ -542,7 +566,7 @@ def _attn_body(
             # would still poison the accumulator through P@V, so float V
             # garbage rows are zeroed here (int8 V is always finite).
             rows_left = kv_len - j * block_kv
-            vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
             v = jnp.where(vrow < rows_left, v, 0)
         if v_quantized and pv_int8:
             # True INT8 P@V on the MXU (2x bf16 throughput): quantize the
@@ -580,10 +604,14 @@ def _attn_body(
             # softmax rows sum to 1 -> adding back the channel mean is a
             # plain add (reference fused v_mean epilogue; also valid with
             # float V, reference sageattn_qk_int8_pv_fp16_cuda smooth_v).
-            o = o + vm_ref[0, 0]
+            # Rows with zero valid keys keep the zero-output contract.
+            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
         o_ref[0, 0] = o.astype(o_ref.dtype)
         m = mstat_ref[0, 0] if static_max else m_scr[...][:, :1]
-        lse2 = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))  # base-2 LSE
+        # Zero-valid-key rows emit the NEG_INIT sentinel in BOTH softmax
+        # modes (static_max's m is a finite bound, not the running max) so
+        # LSE-weighted recombination (ring) gives them weight 0.
+        lse2 = jnp.where(l == 0.0, NEG_INIT, m + jnp.log2(l_safe))  # base-2
         lse_ref[0, 0] = lse2  # [BQ, 1] column
 
 
@@ -662,10 +690,20 @@ def lowbit_attention(
         assert not fused_quant
         assert q_scale is None and k_scale is not None
         assert q.dtype != jnp.int8 and k.dtype == jnp.int8
+    if not quantized_qk:
+        assert q.dtype != jnp.int8 and k.dtype != jnp.int8, (
+            "int8 q/k codes require q_scale/k_scale — the float FA2 path "
+            "would silently misread codes as values"
+        )
+    elif not fused_quant and not fused_quant_q:
+        assert q_scale is not None and k_scale is not None, (
+            "quantized path needs BOTH q_scale and k_scale"
+        )
     if k_packed_int4:
         k_pack_bits = 4
     if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(d)
+        # Scale by the QK contraction dim, not V's head dim (they can differ).
+        sm_scale = 1.0 / math.sqrt(d_q)
     if interpret is None:
         interpret = default_interpret()
     if out_dtype is None:
@@ -720,28 +758,12 @@ def lowbit_attention(
     # Triangular (true block-skip) schedule for causal; rectangular otherwise.
     tri = bool(is_causal) and nq > 1
     if tri:
-        import numpy as np
-
-        i_list, j_list, last_list = [], [], []
-        for qi in range(nq):
-            j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
-            for ki in range(j_max):
-                i_list.append(qi)
-                j_list.append(ki)
-                last_list.append(1 if ki == j_max - 1 else 0)
-        i_tbl = jnp.asarray(np.array(i_list, np.int32))
-        j_tbl = jnp.asarray(np.array(j_list, np.int32))
-        last_tbl = jnp.asarray(np.array(last_list, np.int32))
-        n_steps = len(i_list)
+        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(nq, nk_blocks, block_q, block_kv)
         grid = (b, h, n_steps)
-
-        def IM(f):
-            return lambda bi, hi, ti, itb, jtb, ltb: f(bi, hi, itb[ti], jtb[ti])
+        IM = _im_tri
     else:
         grid = (b, h, nq, nk_blocks)
-
-        def IM(f):
-            return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
+        IM = _im_rect
 
     if k_transposed:
         d_k = k.shape[2]  # packed width when int4/int2
@@ -861,7 +883,11 @@ def lowbit_attention(
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(
         flops=int(flops),
-        bytes_accessed=int(q.size * q.dtype.itemsize + k.size + v.size * v.dtype.itemsize),
+        bytes_accessed=int(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + v.size * v.dtype.itemsize
+        ),
         transcendentals=int(b * h * nq * block_q * nk_blocks * block_kv),
     )
     scratch_shapes = [
@@ -970,6 +996,13 @@ def lowbit_attention_km(
         b, h, d, s_q = qT.shape
     _, h_kv, s_k, d_k = k.shape
     quantized_qk = q_scale is not None
+    if not quantized_qk and not fused_quant_q:
+        assert qT.dtype != jnp.int8 and k.dtype != jnp.int8, (
+            "int8 q/k codes require q_scale/k_scale — the float FA2 path "
+            "would silently misread codes as values"
+        )
+    elif quantized_qk:
+        assert k_scale is not None, "quantized path needs BOTH q_scale and k_scale"
     if k_packed_int4:
         k_pack_bits = 4
     if sm_scale is None:
@@ -1000,27 +1033,12 @@ def lowbit_attention_km(
     mask_v_edge = s_k % block_kv != 0 and vT.dtype != jnp.int8
     tri = bool(is_causal) and nq > 1
     if tri:
-        import numpy as np
-
-        i_list, j_list, last_list = [], [], []
-        for qi in range(nq):
-            j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
-            for ki in range(j_max):
-                i_list.append(qi)
-                j_list.append(ki)
-                last_list.append(1 if ki == j_max - 1 else 0)
-        i_tbl = jnp.asarray(np.array(i_list, np.int32))
-        j_tbl = jnp.asarray(np.array(j_list, np.int32))
-        last_tbl = jnp.asarray(np.array(last_list, np.int32))
-        grid = (b, h, len(i_list))
-
-        def IM(f):
-            return lambda bi, hi, ti, itb, jtb, ltb: f(bi, hi, itb[ti], jtb[ti])
+        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(nq, nk_blocks, block_q, block_kv)
+        grid = (b, h, n_steps)
+        IM = _im_tri
     else:
         grid = (b, h, nq, nk_blocks)
-
-        def IM(f):
-            return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
+        IM = _im_rect
 
     if fused_quant_q:
         q_spec = pl.BlockSpec((1, 1, block_q, d), IM(lambda bi, hi, qi, ki: (bi, hi, qi, 0)), memory_space=pltpu.VMEM)
@@ -1115,7 +1133,11 @@ def lowbit_attention_km(
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(
         flops=int(flops),
-        bytes_accessed=int(qT.size * qT.dtype.itemsize + k.size + vT.size * vT.dtype.itemsize),
+        bytes_accessed=int(
+            qT.size * qT.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + vT.size * vT.dtype.itemsize
+        ),
         transcendentals=int(b * h * nq * block_q * nk_blocks * block_kv),
     )
     if tri:

@@ -177,6 +177,65 @@ def test_static_max_matches_online(causal):
     np.testing.assert_allclose(np.asarray(lse_st), np.asarray(lse_on), atol=1e-3, rtol=1e-4)
 
 
+def test_masked_rows_zero_output_and_lse_sentinel():
+    """Rows with zero valid keys must output exactly 0 (even with smooth_v)
+    and emit the NEG_INIT LSE sentinel — in both softmax modes and both
+    kernel schedules — so ring-style LSE recombination gives them weight 0."""
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+        lowbit_attention_km,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q_f = jax.random.normal(ks[0], (b, h, s, d))
+    k_f = jax.random.normal(ks[1], (b, h, s, d))
+    v = jax.random.normal(ks[2], (b, h, s, d))
+    qc, qs = q_ops.quant_int8(q_f, gran="per_token")
+    kc, ksc = q_ops.quant_int8(k_f, gran="per_token")
+    # second half of the q rows belongs to a segment with no keys at all
+    qseg = jnp.concatenate(
+        [jnp.zeros((b, s // 2), jnp.int32), jnp.ones((b, s // 2), jnp.int32)],
+        axis=1,
+    )
+    kseg = jnp.zeros((b, s), jnp.int32)
+    vm = jnp.mean(v, axis=2)  # [b, h, d] smooth-v mean
+    for static in (False, True):
+        o, lse = lowbit_attention(
+            qc, kc, v, qs, ksc, v_mean=vm, q_segment_ids=qseg,
+            kv_segment_ids=kseg, static_max=static, return_lse=True,
+            pv_dtype=jnp.float32, out_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(o[:, :, s // 2 :, :]), 0.0)
+        assert np.all(np.asarray(lse[:, :, s // 2 :]) <= -1e29)
+        assert np.all(np.isfinite(np.asarray(lse[:, :, : s // 2])))
+    oT, lse = lowbit_attention_km(
+        jnp.swapaxes(qc, 2, 3), kc, jnp.swapaxes(v, 2, 3), qs, ksc,
+        v_mean=vm, q_segment_ids=qseg, kv_segment_ids=kseg, return_lse=True,
+        pv_dtype=jnp.float32, out_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(oT[:, :, :, s // 2 :]), 0.0)
+    assert np.all(np.asarray(lse[:, :, s // 2 :]) <= -1e29)
+
+
+def test_default_sm_scale_uses_qk_dim():
+    """d_qk != d_v: the default softmax scale comes from the QK contraction
+    dim, never from V's head dim."""
+    qc, kc, qs, ksc, _ = _codes_and_scales(key=22, sq=128, sk=128, d=64)
+    v = jax.random.normal(jax.random.PRNGKey(23), (1, 2, 128, 128), jnp.float32)
+    o_def = lowbit_attention(qc, kc, v, qs, ksc,
+                             pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    o_exp = lowbit_attention(qc, kc, v, qs, ksc, sm_scale=1.0 / 8.0,
+                             pv_dtype=jnp.float32, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(o_def), np.asarray(o_exp))
+
+
+def test_int8_codes_without_scales_rejected():
+    """int8 q/k with no scales must raise, not silently run the float path."""
+    qc, kc, _, _, v = _codes_and_scales(key=24, sq=128, sk=128)
+    with pytest.raises(AssertionError):
+        lowbit_attention(qc, kc, v)
+
+
 # ---------------------------------------------------------------------------
 # Tier 2: end-to-end quant + kernel accuracy
 # ---------------------------------------------------------------------------

@@ -56,6 +56,56 @@ def test_grade_numeric():
     assert not grade_numeric(None, "42")
 
 
+def test_math_equal_ladder():
+    """The full equivalence ladder (reference grader.py math_equal)."""
+    from lowbit_quant_fa2_paddle_tpu.evalkit.grader import (
+        clean_choice_answer,
+        math_equal,
+    )
+
+    # exact / case-insensitive
+    assert math_equal("Yes", "yes")
+    # multiple choice: last standalone letter wins
+    assert clean_choice_answer("The answer is B. Wait, actually D.") == "D"
+    assert math_equal("so the answer is (C)", "C")
+    assert not math_equal("so the answer is (C)", "D")
+    # percent tolerance both ways
+    assert math_equal("50%", "0.5")
+    assert math_equal("0.5", "50")
+    assert math_equal("$1,234", "1234")
+    # LaTeX fractions (the reference's own self-test: \frac1{6} == 1/6)
+    assert math_equal("1/6", "\\frac1{6}")
+    assert math_equal("\\frac{3}{4}", "0.75")
+    # unordered comma lists, polar coordinates stay ordered
+    assert math_equal("3, 1, 2", "1, 2, 3")
+    assert not math_equal("(2, pi)", "(pi, 2)")
+    # elementwise tuples
+    assert math_equal("(0.5, 2)", "(1/2, 2.0)")
+    # matrices
+    assert math_equal(
+        "\\begin{pmatrix}1 & 2\\\\3 & 4\\end{pmatrix}",
+        "\\begin{pmatrix}1.0 & 2\\\\3 & 4.0\\end{pmatrix}",
+    )
+    assert not math_equal(
+        "\\begin{pmatrix}1 & 2\\\\3 & 4\\end{pmatrix}",
+        "\\begin{pmatrix}1 & 2\\\\3 & 5\\end{pmatrix}",
+    )
+    # mismatches stay mismatches
+    assert not math_equal("41", "42")
+    assert not math_equal(None, "42")
+
+
+def test_math_equal_symbolic():
+    from lowbit_quant_fa2_paddle_tpu.evalkit.grader import HAVE_SYMPY, math_equal
+
+    if not HAVE_SYMPY:
+        pytest.skip("sympy not in image")
+    assert math_equal("x + x", "2*x")
+    assert math_equal("y = 2*x", "2*x = y")
+    # timeout-guarded path returns (it must never hang the eval loop)
+    assert math_equal("x + x", "2*x", check_timeout=True)
+
+
 def test_run_inference_with_resume(tmp_path):
     cfg = InferenceConfig(
         dataset="simple", batch_size=4, output_dir=str(tmp_path),
