@@ -189,9 +189,9 @@ def ring_attention(
         # single-chip contract (reference src/core.py:344-350).
         lse = (m + jnp.log2(l_safe)) / LOG2E
         if km is not None:
-            corr = jnp.einsum(
-                "bhqd,bhkd->bhqk", q.astype(jnp.float32), km.astype(jnp.float32)
-            )[..., 0]
+            # GQA: broadcast the kv-head means to the q heads before the dot.
+            kmq = jnp.repeat(km.astype(jnp.float32), h // km.shape[1], axis=1)
+            corr = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kmq)[..., 0]
             lse = lse + corr * sm_scale
         return o, lse
     return o

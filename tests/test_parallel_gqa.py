@@ -37,6 +37,27 @@ def test_ring_attention_gqa():
     assert float(metrics.cosine_similarity(o, o_ref)) > 0.999
 
 
+def test_ring_attention_gqa_lse():
+    """GQA + smooth_k + return_lse: the smooth-K LSE correction must
+    broadcast the kv-head means to the q heads."""
+    import numpy as np
+
+    q, k, v = _gqa_qkv(2, s=128)
+    mesh = make_mesh({"seq": 4})
+    spec = P(None, None, "seq", None)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, axis_name="seq", return_lse=True),
+            mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, P(None, None, "seq")), check_vma=False,
+        )
+    )
+    o, lse = fn(q, k, v)
+    o_ref, lse_ref = attention_reference(q, k, v, return_lse=True)
+    assert float(metrics.cosine_similarity(o, o_ref)) > 0.999
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=2e-2, rtol=2e-3)
+
+
 def test_ulysses_gqa():
     """Ulysses with GQA: kv heads must also divide the axis -> hk=4, n=2."""
     q, k, v = _gqa_qkv(1, h=8, hk=4)
