@@ -53,11 +53,9 @@ def main():
     attn_fp = jax.jit(lambda q, k, v: flash_attention_fp(q, k, v))
 
     flops = attention_flops(B, H, D, S, S, causal=False)
-    # feedback: the attention output O^T [B,H,D,S] bf16 feeds the next call's
-    # V^T input directly — the K-major kernel's natural chaining.
-    t_int8 = measure_op_time(attn_int8, (qT_codes, k_codes, vT, q_scale, k_scale), feedback=2)
+    t_int8 = measure_op_time(attn_int8, (qT_codes, k_codes, vT, q_scale, k_scale))
     tflops_int8 = tflops(flops, t_int8)
-    t_fp = measure_op_time(attn_fp, (q, k, v), feedback=2)
+    t_fp = measure_op_time(attn_fp, (q, k, v))
     tflops_fp = tflops(flops, t_fp)
 
     # Accuracy vs the fp kernel (the exact oracle would materialize an

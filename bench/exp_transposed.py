@@ -179,9 +179,9 @@ def main():
     print("cos tattn vs fp:  ", float(cosine_similarity(o_t, o_fp)))
 
     flops = attention_flops(B, H, D, S, S, causal=False)
-    t1 = measure_op_time(f_t, (qT_codes, k_codes, vT, q_scale, k_scale), feedback=0)
-    t2 = measure_op_time(f_base, (q_codes, kT_codes, v, q_scale, k_scale), feedback=0)
-    t3 = measure_op_time(f_fp, (q, k, v), feedback=0)
+    t1 = measure_op_time(f_t, (qT_codes, k_codes, vT, q_scale, k_scale))
+    t2 = measure_op_time(f_base, (q_codes, kT_codes, v, q_scale, k_scale))
+    t3 = measure_op_time(f_fp, (q, k, v))
     print(f"tattn (K-major): {tflops(flops, t1):.1f} TF ({t1*1e3:.2f} ms)")
     print(f"base  (Q-major): {tflops(flops, t2):.1f} TF ({t2*1e3:.2f} ms)")
     print(f"fp    (Q-major): {tflops(flops, t3):.1f} TF ({t3*1e3:.2f} ms)")
@@ -196,8 +196,8 @@ def main():
     oc_b = fc_base(q_codes, kT_codes, v, q_scale, k_scale)
     print("causal cos vs base:", float(cosine_similarity(oc, oc_b)))
     cflops = attention_flops(B, H, D, S, S, causal=True)
-    tc = measure_op_time(fc, (qT_codes, k_codes, vT, q_scale, k_scale), feedback=0)
-    tcb = measure_op_time(fc_base, (q_codes, kT_codes, v, q_scale, k_scale), feedback=0)
+    tc = measure_op_time(fc, (qT_codes, k_codes, vT, q_scale, k_scale))
+    tcb = measure_op_time(fc_base, (q_codes, kT_codes, v, q_scale, k_scale))
     print(f"tattn causal-rect: {tflops(cflops, tc):.1f} TF ({tc*1e3:.2f} ms)")
     print(f"base  causal-tri:  {tflops(cflops, tcb):.1f} TF ({tcb*1e3:.2f} ms)")
 
@@ -206,7 +206,7 @@ def main():
             f = jax.jit(lambda a, b_, c, d_, e, bq=bq, bk=bk: tattn(
                 a, b_, c, d_, e, block_q=bq, block_kv=bk))
             jax.block_until_ready(f(qT_codes, k_codes, vT, q_scale, k_scale))
-            t = measure_op_time(f, (qT_codes, k_codes, vT, q_scale, k_scale), feedback=0)
+            t = measure_op_time(f, (qT_codes, k_codes, vT, q_scale, k_scale))
             print(f"tattn bq={bq} bk={bk}: {tflops(flops, t):.1f} TF ({t*1e3:.2f} ms)")
         except Exception as ex:
             print(f"tattn bq={bq} bk={bk}: FAIL {type(ex).__name__}: {str(ex)[:100]}")

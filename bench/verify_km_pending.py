@@ -1,6 +1,6 @@
 """On-chip verification of the two pending K-major items (PERFORMANCE.md):
 
-1. fused-Q variant (``fuse_quant_q``): hoisted in-kernel per-token Q quant +
+1. fused-Q variant (``fused_quant_q``): hoisted in-kernel per-token Q quant +
    VMEM relayout — deletes the external Q quant kernel AND the Q^T pass.
    Bit-identical on CPU; here we measure the end-to-end from-bf16 cost
    against the external-quant production path.
@@ -73,7 +73,7 @@ def main():
 
     ext_fn = jax.jit(ext_path)
     o_ext = jax.block_until_ready(ext_fn(q, k, v))
-    t_ext = measure_op_time(ext_fn, (q, k, v), feedback=(0, 1, 2))
+    t_ext = measure_op_time(ext_fn, (q, k, v))
     report("external-quant e2e", t_ext, f"cos={float(cosine_similarity(o_ext, o_fp)):.6f}")
 
     # --- 2) fused-Q path, end-to-end from bf16 (K still external) ---
@@ -85,7 +85,7 @@ def main():
 
     fq_fn = jax.jit(fusedq_path)
     o_fq = jax.block_until_ready(fq_fn(q, k, v))
-    t_fq = measure_op_time(fq_fn, (q, k, v), feedback=(0, 1, 2))
+    t_fq = measure_op_time(fq_fn, (q, k, v))
     report(
         "fused-Q e2e", t_fq,
         f"cos={float(cosine_similarity(o_fq, o_fp)):.6f} "
@@ -93,7 +93,7 @@ def main():
     )
 
     # --- fp drop-in for context ---
-    t_fp = measure_op_time(fp_fn, (q, k, v), feedback=(0, 1, 2))
+    t_fp = measure_op_time(fp_fn, (q, k, v))
     report("fp16-FA2", t_fp)
 
     # --- 3) pv_int8 economics on pre-quantized operands ---
@@ -107,7 +107,7 @@ def main():
     vT = jax.block_until_ready(jnp.swapaxes(v, 2, 3))
 
     km_bf = jax.jit(lambda qc, kc, vt, qs, ksc: lowbit_attention_km(qc, kc, vt, qs, ksc))
-    t_bf = measure_op_time(km_bf, (qT_c, k_c, vT, q_s, k_s), feedback=2)
+    t_bf = measure_op_time(km_bf, (qT_c, k_c, vT, q_s, k_s))
     report("kernel int8 / bf16-V / bf16-PV", t_bf)
 
     km_v8 = jax.jit(
@@ -115,7 +115,7 @@ def main():
     )
     o_v8 = km_v8(qT_c, k_c, vT_c, q_s, k_s, v_s)
     cos_v8 = float(cosine_similarity(jnp.swapaxes(o_v8, 2, 3), o_fp))
-    t_v8 = measure_op_time(km_v8, (qT_c, k_c, vT_c, q_s, k_s, v_s), feedback=2)
+    t_v8 = measure_op_time(km_v8, (qT_c, k_c, vT_c, q_s, k_s, v_s))
     report("kernel int8 / int8-V / bf16-PV", t_v8, f"cos={cos_v8:.6f}")
 
     km_pv8 = jax.jit(
@@ -125,7 +125,7 @@ def main():
     )
     o_pv8 = km_pv8(qT_c, k_c, vT_c, q_s, k_s, v_s)
     cos_pv8 = float(cosine_similarity(jnp.swapaxes(o_pv8, 2, 3), o_fp))
-    t_pv8 = measure_op_time(km_pv8, (qT_c, k_c, vT_c, q_s, k_s, v_s), feedback=2)
+    t_pv8 = measure_op_time(km_pv8, (qT_c, k_c, vT_c, q_s, k_s, v_s))
     report("kernel int8 / int8-V / INT8-PV", t_pv8, f"cos={cos_pv8:.6f}")
 
     print(

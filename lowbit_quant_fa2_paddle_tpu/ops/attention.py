@@ -162,6 +162,7 @@ def _attn_body_km(
     sm_scale_log2e: float,
     pv_dtype,
     mask_v_edge: bool = False,
+    softmax_dtype=None,
     **_unused,
 ):
     """K-major (transposed-space) block: the hd64 performance schedule.
@@ -255,17 +256,23 @@ def _attn_body_km(
         elif k_pack_bits == 2:
             k = _unpack_int2_quarters(k)
 
+        # softmax_dtype=bf16 runs the WHOLE logit chain (dequant, max, shift,
+        # exp2) on bf16 tiles. Measured a LOSS on v5e (7.71 vs 6.40 ms at the
+        # headline config): the VPU does not run bf16 elementwise 2x, and the
+        # extra casts cost more than the narrower tiles save. Kept as an
+        # opt-in experiment knob for other generations (bench/exp_round2.py).
+        sm_dt = softmax_dtype if softmax_dtype is not None else jnp.float32
         if quantized_qk or fused_quant_q:
             sT = jax.lax.dot_general(
                 k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            ).astype(jnp.float32)
+            ).astype(sm_dt)
             q_row = qs_scr[...][:1] if fused_quant_q else qs_ref[0, 0]
-            sT = sT * ks_ref[0, 0] * q_row
+            sT = sT * ks_ref[0, 0].astype(sm_dt) * q_row.astype(sm_dt)
         else:
             sT = jax.lax.dot_general(
                 k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            sT = sT * sm_scale_log2e
+            ).astype(sm_dt)
+            sT = sT * jnp.asarray(sm_scale_log2e, sm_dt)
 
         if has_bias:
             b_t = bias_ref[0, 0]
@@ -294,10 +301,12 @@ def _attn_body_km(
         bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
-        m_curr = jnp.max(sT, axis=0, keepdims=True)  # sublane reduce [1, BQ]
+        m_curr = jnp.max(sT, axis=0, keepdims=True).astype(jnp.float32)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        shifted = sT - m_next[:1]
+        # Keep the full-tile subtract in the softmax dtype (a f32 m would
+        # silently upcast the whole [BK,BQ] tile).
+        shifted = sT - m_next[:1].astype(sm_dt)
         pT = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
         l_curr = jnp.sum(pT, axis=0, keepdims=True, dtype=jnp.float32)
         l_scr[...] = alpha * l_prev + l_curr
@@ -959,6 +968,7 @@ def lowbit_attention_km(
     pv_int8: bool = False,
     v_natural: bool = False,
     logit_cap: float = 0.0,
+    softmax_dtype=None,
     pv_dtype=jnp.bfloat16,
     block_q: int = 2048,
     block_kv: int = 512,
@@ -1129,6 +1139,7 @@ def lowbit_attention_km(
         sm_scale_log2e=float(sm_scale) * LOG2E,
         pv_dtype=pv_dtype,
         mask_v_edge=mask_v_edge,
+        softmax_dtype=softmax_dtype,
     )
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(

@@ -54,7 +54,6 @@ def measure_op_time(
     r1: int = 8,
     r2: int = 24,
     samples: int = 3,
-    feedback=None,  # retained for call-site compatibility; unused
 ) -> float:
     """Mean seconds per call of ``fn(*args)`` (first output fetched).
 
