@@ -99,6 +99,8 @@ def _finish_lse(lse2: jax.Array, q: jax.Array, km: Optional[jax.Array], sm_scale
     (reference src/core.py:344-350: ``lse/log2e + q @ km^T * sm_scale``)."""
     lse = lse2 / LOG2E
     if km is not None:
+        if km.shape[1] != q.shape[1]:  # GQA: km is per KV head
+            km = jnp.repeat(km, q.shape[1] // km.shape[1], axis=1)
         corr = jnp.einsum(
             "bhqd,bhkd->bhqk", q.astype(jnp.float32), km.astype(jnp.float32)
         )[..., 0]

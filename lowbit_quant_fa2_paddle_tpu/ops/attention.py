@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
 
 LOG2E = math.log2(math.e)
+LOG2_127 = math.log2(127.0)
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 STATS_WIDTH = 128  # lane width of the m/l scratch rows
 NEG_INIT = -1e30
@@ -116,6 +117,26 @@ def _im_rect(f):
     return lambda bi, hi, qi, ki: f(bi, hi, qi, ki)
 
 
+# Measured per-row efficiency of the K-major non-causal schedule by q-block
+# size (b4 h32 d64 s4096, v5e: 6.20 / 6.43 / 6.68 ms at 4096/2048/1024; 512
+# extrapolated). Larger tiles amortize per-block overhead, but a partial edge
+# q-block computes its full padded height — so the default minimizes
+# padded_rows * per_row_cost instead of blindly taking the largest tile
+# (e.g. s=17776: bq4096 pads 15%, bq2048 wins).
+_KM_BQ_EFF = ((4096, 1.0), (2048, 1.037), (1024, 1.077), (512, 1.12))
+
+
+def _pick_block_q_km(s_q: int, d: int) -> int:
+    best, best_cost = 1024, None
+    for bq, f in _KM_BQ_EFF:
+        if d > 64 and bq > 2048:
+            continue  # hd128 VMEM headroom: f32 logits tile + doubled acc
+        cost = cdiv(s_q, bq) * bq * f
+        if best_cost is None or cost < best_cost:
+            best, best_cost = bq, cost
+    return best
+
+
 def _attn_kernel_rect(*refs, k_major: bool = False, **params):
     """Rectangular grid (b, h, nq, nk): the non-causal schedule."""
     i = pl.program_id(2)
@@ -163,6 +184,7 @@ def _attn_body_km(
     pv_dtype,
     mask_v_edge: bool = False,
     softmax_dtype=None,
+    ks_uniform: bool = False,
     **_unused,
 ):
     """K-major (transposed-space) block: the hd64 performance schedule.
@@ -245,8 +267,31 @@ def _attn_body_km(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _compute():
+    # softmax_dtype=bf16 runs the WHOLE logit chain (dequant, max, shift,
+    # exp2) on bf16 tiles. Measured a LOSS on v5e (7.71 vs 6.40 ms at the
+    # headline config): the VPU does not run bf16 elementwise 2x, and the
+    # extra casts cost more than the narrower tiles save. Kept as an
+    # opt-in experiment knob for other generations (bench/exp_round2.py).
+    sm_dt = softmax_dtype if softmax_dtype is not None else jnp.float32
+    bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
+    quant = quantized_qk or fused_quant_q
+    # fold_p127: true INT8 P@V with the x127 requant folded into the exp2
+    # shift — the TPU analog of the reference FP8 path's S_FP8_OFFSET
+    # exponent-bias trick (csrc/qattn/qk_int_sv_f8_cuda.cu:30-32, applied
+    # at softmax and un-done at normalize). pT comes out of exp2 already
+    # scaled to [0, 127]; l accumulates the SAME quantized weights, so the
+    # 127 cancels exactly in acc/l and only the LSE needs the -log2(127).
+    fold_p127 = v_quantized and pv_int8
+    kv_edge = kv_len % block_kv != 0
+    # Fast chain: uniform-per-tile K scale (scales positive => they factor
+    # out of the max), no bias/cap, no mask. The tile max runs in the INT32
+    # domain and the two dequant multiplies collapse into one [1, BQ] row
+    # feeding a single fused multiply-subtract before exp2 — 2 fewer VPU
+    # passes over the [BK, BQ] tile, which is where this kernel's issue
+    # slots go (PERFORMANCE.md ablations).
+    fast_ok = quant and ks_uniform and not has_bias and logit_cap == 0.0
+
+    def _block(masked: bool):
         qT = q8_scr[...] if fused_quant_q else q_ref[0, 0]  # [D, BQ]
         k = k_ref[0, 0]   # [BK, Dk]
         if k_pack_bits == 4:
@@ -256,60 +301,74 @@ def _attn_body_km(
         elif k_pack_bits == 2:
             k = _unpack_int2_quarters(k)
 
-        # softmax_dtype=bf16 runs the WHOLE logit chain (dequant, max, shift,
-        # exp2) on bf16 tiles. Measured a LOSS on v5e (7.71 vs 6.40 ms at the
-        # headline config): the VPU does not run bf16 elementwise 2x, and the
-        # extra casts cost more than the narrower tiles save. Kept as an
-        # opt-in experiment knob for other generations (bench/exp_round2.py).
-        sm_dt = softmax_dtype if softmax_dtype is not None else jnp.float32
-        if quantized_qk or fused_quant_q:
-            sT = jax.lax.dot_general(
-                k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            ).astype(sm_dt)
-            q_row = qs_scr[...][:1] if fused_quant_q else qs_ref[0, 0]
-            sT = sT * ks_ref[0, 0].astype(sm_dt) * q_row.astype(sm_dt)
-        else:
-            sT = jax.lax.dot_general(
-                k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).astype(sm_dt)
-            sT = sT * jnp.asarray(sm_scale_log2e, sm_dt)
-
-        if has_bias:
-            b_t = bias_ref[0, 0]
-            sT = sT + b_t  # pre-scaled to base-2 by the launcher
-        if logit_cap > 0.0:
-            c2 = logit_cap * LOG2E
-            sT = c2 * jnp.tanh(sT / c2)
-
-        mask = None
-        if causal:
-            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
-            mask = kvrow <= qcol
-        if kv_len % block_kv != 0:
-            # [BK, 1] column predicate — broadcasts over q lanes, so interior
-            # blocks pay a vector (not tile) iota+compare.
-            kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + j * block_kv
-            inb = kvrow < kv_len
-            mask = inb if mask is None else jnp.logical_and(mask, inb)
-        if has_segments:
-            seg = kseg_ref[0] == qseg_ref[0]  # [BK,1] vs [1,BQ]
-            mask = seg if mask is None else jnp.logical_and(mask, seg)
-        if mask is not None:
-            sT = jnp.where(mask, sT, MASK_VALUE)
-
-        bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
         m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(sT, axis=0, keepdims=True).astype(jnp.float32)
-        m_next = jnp.maximum(m_prev, m_curr)
+        if quant:
+            sI = jax.lax.dot_general(
+                k, qT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            q_row = qs_scr[...][:1] if fused_quant_q else qs_ref[0, 0]
+        if fast_ok and not masked:
+            cq = ks_ref[0, 0][:1] * q_row          # [1, BQ] combined scale
+            m_curr = jnp.max(sI, axis=0, keepdims=True).astype(jnp.float32) * cq
+            m_next = jnp.maximum(m_prev, m_curr)
+            shift = (m_next - LOG2_127) if fold_p127 else m_next
+            x = sI.astype(jnp.float32) * cq - shift[:1]
+            pT = jnp.exp2(x.astype(jnp.bfloat16) if bf16_softmax else x)
+        else:
+            if quant:
+                sT = sI.astype(sm_dt)
+                sT = sT * ks_ref[0, 0].astype(sm_dt) * q_row.astype(sm_dt)
+            else:
+                sT = jax.lax.dot_general(
+                    k, qT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(sm_dt)
+                sT = sT * jnp.asarray(sm_scale_log2e, sm_dt)
+
+            if has_bias:
+                b_t = bias_ref[0, 0]
+                sT = sT + b_t  # pre-scaled to base-2 by the launcher
+            if logit_cap > 0.0:
+                c2 = logit_cap * LOG2E
+                sT = c2 * jnp.tanh(sT / c2)
+
+            mask = None
+            if masked and causal:
+                kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
+                qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
+                mask = kvrow <= qcol
+            if masked and kv_edge:
+                # [BK, 1] column predicate — broadcasts over q lanes, so the
+                # edge block pays a vector (not tile) iota+compare.
+                kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + j * block_kv
+                inb = kvrow < kv_len
+                mask = inb if mask is None else jnp.logical_and(mask, inb)
+            if masked and has_segments:
+                seg = kseg_ref[0] == qseg_ref[0]  # [BK,1] vs [1,BQ]
+                mask = seg if mask is None else jnp.logical_and(mask, seg)
+            if mask is not None:
+                sT = jnp.where(mask, sT, MASK_VALUE)
+
+            m_curr = jnp.max(sT, axis=0, keepdims=True).astype(jnp.float32)
+            m_next = jnp.maximum(m_prev, m_curr)
+            shift = (m_next - LOG2_127) if fold_p127 else m_next
+            # Keep the full-tile subtract in the softmax dtype (a f32 m would
+            # silently upcast the whole [BK,BQ] tile).
+            shifted = sT - shift[:1].astype(sm_dt)
+            pT = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
+
         alpha = jnp.exp2(m_prev - m_next)
-        # Keep the full-tile subtract in the softmax dtype (a f32 m would
-        # silently upcast the whole [BK,BQ] tile).
-        shifted = sT - m_next[:1].astype(sm_dt)
-        pT = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
-        l_curr = jnp.sum(pT, axis=0, keepdims=True, dtype=jnp.float32)
-        l_scr[...] = alpha * l_prev + l_curr
+        if fold_p127:
+            # Round-to-nearest via +0.5 then truncating convert; max value
+            # 127.49 -> 127 (no overflow). l sums the SAME quantized weights
+            # so normalization is self-consistent with the PV dot.
+            p8 = (pT + jnp.asarray(0.5, pT.dtype)).astype(jnp.int8)
+            l_curr = jnp.sum(
+                p8, axis=0, keepdims=True, dtype=jnp.int32
+            ).astype(jnp.float32)
+        else:
+            l_curr = jnp.sum(pT, axis=0, keepdims=True, dtype=jnp.float32)
+        l_scr[...] = alpha * l_scr[...] + l_curr
         m_scr[...] = m_next
 
         v_t = v_ref[0, 0]  # [D, BK] transposed, or [BK, D] when v_natural
@@ -324,14 +383,10 @@ def _attn_body_km(
         # trades the whole-tensor V^T HBM pass for the MXU's [K, M]-layout
         # lhs feed. Measure both (hw_runbook) — layout rates differ.
         dnums = (((0,), (0,)), ((), ())) if v_natural else (((1,), (0,)), ((), ()))
-        if v_quantized and pv_int8:
-            # True INT8 P@V (see _attn_body's pv_int8 note — the TPU analog
-            # of the reference's FP8 P conversion): static scale 127 on the
-            # softmax weights, int32 accumulate, 1/127 undo.
-            p8 = (pT.astype(jnp.float32) * 127.0 + 0.5).astype(jnp.int8)
+        if fold_p127:
             pv = jax.lax.dot_general(
                 v_t, p8, dnums, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (1.0 / 127.0)
+            ).astype(jnp.float32)
         else:
             pv = jax.lax.dot_general(
                 v_t.astype(pv_dtype),
@@ -340,6 +395,33 @@ def _attn_body_km(
                 preferred_element_type=jnp.float32,
             )
         acc_scr[...] = acc_scr[...] * alpha[:1] + pv
+
+    @pl.when(should_run)
+    def _compute():
+        # Split blocks that can need masking from those that can't, so
+        # interior blocks (the bulk) skip the iota/where passes and take the
+        # fast chain. Segment masks can land anywhere -> always masked.
+        if has_segments:
+            _block(True)
+            return
+        dyn = None
+        if causal:
+            # Mask needed iff the block straddles the diagonal: its largest
+            # kv row exceeds its smallest q column.
+            dyn = j * block_kv + block_kv - 1 > i * block_q
+        if kv_edge:
+            e = j == cdiv(kv_len, block_kv) - 1
+            dyn = e if dyn is None else jnp.logical_or(dyn, e)
+        if dyn is None:
+            _block(False)
+        else:
+            @pl.when(dyn)
+            def _masked():
+                _block(True)
+
+            @pl.when(jnp.logical_not(dyn))
+            def _unmasked():
+                _block(False)
 
     @pl.when(is_last)
     def _finalize():
@@ -355,8 +437,14 @@ def _attn_body_km(
         o_ref[0, 0] = o.astype(o_ref.dtype)
         m = m_scr[...][:1]
         # Zero-valid-key rows emit the NEG_INIT sentinel so LSE-weighted
-        # recombination (ring) gives them weight 0.
-        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INIT, m + jnp.log2(l_safe))
+        # recombination (ring) gives them weight 0. With fold_p127, l carries
+        # the x127 softmax-weight scale — undo it in the LSE only (it cancels
+        # in acc/l), mirroring the reference FP8 path's offset subtraction
+        # (csrc/qattn/qk_int_sv_f8_cuda.cu:689).
+        lse = m + jnp.log2(l_safe)
+        if v_quantized and pv_int8:
+            lse = lse - LOG2_127
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INIT, lse)
 
 
 def _attn_body(
@@ -969,14 +1057,29 @@ def lowbit_attention_km(
     v_natural: bool = False,
     logit_cap: float = 0.0,
     softmax_dtype=None,
+    k_scale_uniform: bool = False,
     pv_dtype=jnp.bfloat16,
-    block_q: int = 2048,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     out_dtype=None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """K-major (transposed-space) attention — the hd64 fast path.
+
+    Default blocks are schedule-dependent (on-chip sweep, b4 h32 d64 s4096,
+    v5e): non-causal (4096, 512) — 6.20 ms vs 6.55 at the old (2048, 512);
+    causal (1024, 1024) — 4.42 ms vs 5.49 (the triangular grid skips
+    1 - (nq+1)/(2·nk·bq/bk...) of the blocks, so causal wants SQUARE blocks:
+    at bq2048/bk512 and s4096 only 25% of blocks are skipped, at
+    bq1024/bk1024 it is 37.5%). Both sit at the VMEM ceiling
+    bq*bk <= 2M (the f32 logits tile; larger tiles fail Mosaic compile).
+
+    ``k_scale_uniform=True`` asserts that ``k_scale`` is constant within
+    every ``block_kv`` row window (e.g. per-block quantization with the
+    quant block equal to ``block_kv``). Unmasked quantized blocks then take
+    a shorter VPU chain: int32-domain tile max + one combined scale row —
+    see ``_attn_body_km``. Results are wrong if the promise is broken.
 
     See ``_attn_body_km`` for the schedule rationale (full-lane PV, sublane
     softmax reductions; 1.23x over the Q-major kernel at b4h32 s4096 hd64,
@@ -1032,6 +1135,10 @@ def lowbit_attention_km(
     has_segments = q_segment_ids is not None
     has_bias = bias is not None
 
+    if block_q is None:
+        block_q = 1024 if is_causal else _pick_block_q_km(s_q, d)
+    if block_kv is None:
+        block_kv = 1024 if is_causal else 512
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
 
@@ -1140,6 +1247,7 @@ def lowbit_attention_km(
         pv_dtype=pv_dtype,
         mask_v_edge=mask_v_edge,
         softmax_dtype=softmax_dtype,
+        ks_uniform=bool(k_scale_uniform),
     )
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(

@@ -178,3 +178,23 @@ def test_smooth_q_lse_contract():
     ref_o, ref_lse = attention_reference(q, k, v, is_causal=True, return_lse=True)
     assert _cos(o, ref_o) > 0.999
     assert float(jnp.max(jnp.abs(lse - ref_lse))) < 0.05
+
+
+def test_gqa_return_lse_smooth_k():
+    # Regression: _finish_lse's smooth-K correction under GQA used the
+    # per-KV-head km directly against the full q head count (einsum label
+    # mismatch). LSE must match the exact reference per q head.
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    b, hq, hk, s, d = 1, 8, 2, 512, 64
+    q = jax.random.normal(ks[0], (b, hq, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hk, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hk, s, d), jnp.float32)
+    o, lse = lq.lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=True, return_lse=True
+    )
+    kx = jnp.repeat(k, hq // hk, axis=1)
+    vx = jnp.repeat(v, hq // hk, axis=1)
+    ref_o, ref_lse = attention_reference(q, kx, vx, is_causal=True, return_lse=True)
+    assert lse.shape == (b, hq, s)
+    assert float(jnp.max(jnp.abs(lse - ref_lse))) < 3e-2
+    assert _cos(o, ref_o) > 0.999
