@@ -185,6 +185,7 @@ def _attn_body_km(
     mask_v_edge: bool = False,
     softmax_dtype=None,
     ks_uniform: bool = False,
+    mask_split: bool = True,
     **_unused,
 ):
     """K-major (transposed-space) block: the hd64 performance schedule.
@@ -405,15 +406,16 @@ def _attn_body_km(
             _block(True)
             return
         dyn = None
-        if causal:
-            # Mask needed iff the block straddles the diagonal: its largest
-            # kv row exceeds its smallest q column.
-            dyn = j * block_kv + block_kv - 1 > i * block_q
-        if kv_edge:
-            e = j == cdiv(kv_len, block_kv) - 1
-            dyn = e if dyn is None else jnp.logical_or(dyn, e)
+        if mask_split:
+            if causal:
+                # Mask needed iff the block straddles the diagonal: its
+                # largest kv row exceeds its smallest q column.
+                dyn = j * block_kv + block_kv - 1 > i * block_q
+            if kv_edge:
+                e = j == cdiv(kv_len, block_kv) - 1
+                dyn = e if dyn is None else jnp.logical_or(dyn, e)
         if dyn is None:
-            _block(False)
+            _block(causal or kv_edge)
         else:
             @pl.when(dyn)
             def _masked():
@@ -475,6 +477,7 @@ def _attn_body(
     sm_scale_log2e: float,
     pv_dtype,
     mask_v_edge: bool = False,
+    mask_split: bool = True,
 ):
     # --- unpack refs in the fixed order the launcher builds them ---
     it = iter(refs)
@@ -605,88 +608,121 @@ def _attn_body(
             c2 = logit_cap * LOG2E
             s = c2 * jnp.tanh(s / c2)
 
-        mask = None
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
-            mask = col <= row
-        if kv_len % block_kv != 0:
-            # [1, BK] row predicate — broadcasts over q rows, so interior
-            # blocks pay a vector (not tile) iota+compare.
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1) + j * block_kv
-            inb = col < kv_len
-            mask = inb if mask is None else jnp.logical_and(mask, inb)
-        if has_segments:
-            qseg = qseg_ref[0]  # [BQ, 1] column
-            kseg = kseg_ref[0]  # [1, BK] row
-            seg = qseg == kseg
-            mask = seg if mask is None else jnp.logical_and(mask, seg)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
-
         # When PV consumes bf16 anyway, run exp2 (and the [BQ,BK] tail of
         # the softmax) in bf16: the exp2 argument is <= 0, so the absolute
         # bf16 rounding bounds the relative error of p at ~ln2*2^-9 — cos
         # impact ~1e-6, VPU passes on the [BQ,BK] tile halve (+~5% kernel).
         bf16_softmax = pv_dtype == jnp.bfloat16 or (v_quantized and pv_int8)
-        if static_max:
-            # m_static is the launcher's Cauchy-Schwarz per-row logit bound
-            # (see the launcher note) — it overshoots the true row max by
-            # only a few base-2 units, absorbed by the f32/bf16 exponent
-            # after exp2. The whole online-max machinery (max reduce, alpha,
-            # accumulator rescale) vanishes: softmax becomes one shifted
-            # exp2 + plain accumulation.
-            shifted = s - mstat_ref[0, 0]  # [BQ,BK] - [BQ,1]
-            p = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
-            l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            l_scr[...] = l_scr[...] + jnp.broadcast_to(l_curr, l_scr.shape)
-        else:
-            m_prev = m_scr[...]  # [BQ, 128] (replicated)
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-            alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
-            if bf16_softmax:
-                p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
-            else:
-                p = jnp.exp2(s - m_next[:, :1])  # [BQ, BK]
-            l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
-            m_scr[...] = m_next
-            l_scr[...] = l_next
+        # fold_p127: true INT8 P@V with the x127 requant folded into the
+        # exp2 shift (the reference FP8 S_FP8_OFFSET analog — see the
+        # K-major twin). l sums the SAME quantized weights, so 127 cancels
+        # in acc/l; the finalize LSE subtracts log2(127).
+        fold_p127 = v_quantized and pv_int8
+        kv_edge = kv_len % block_kv != 0
 
-        v = v_ref[0, 0]  # [BK, D] float | int8
-        if mask_v_edge:
-            # Seq dims are not physically padded; the edge KV block reads
-            # whatever lies past the array end. p for those columns is
-            # exactly 0 (masked to MASK_VALUE pre-exp2), but 0 * NaN = NaN
-            # would still poison the accumulator through P@V, so float V
-            # garbage rows are zeroed here (int8 V is always finite).
-            rows_left = kv_len - j * block_kv
-            vrow = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
-            v = jnp.where(vrow < rows_left, v, 0)
-        if v_quantized and pv_int8:
-            # True INT8 P@V on the MXU (2x bf16 throughput): quantize the
-            # softmax weights to int8 with the static scale 127 (p rows max
-            # at exp2(0)=1 by construction) and rescale the int32 result.
-            # This is the TPU analog of the reference's FP8 P conversion
-            # with exponent offset (csrc/qattn/qk_int_sv_f8_cuda.cu,
-            # S_FP8_OFFSET): same role, integer arithmetic instead.
-            p8 = (p.astype(jnp.float32) * 127.0 + 0.5).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                p8, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (1.0 / 127.0)
+        def _tail(masked: bool):
+            ss = s
+            mask = None
+            if masked and causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+                mask = col <= row
+            if masked and kv_edge:
+                # [1, BK] row predicate — broadcasts over q rows, so the
+                # edge block pays a vector (not tile) iota+compare.
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1) + j * block_kv
+                inb = col < kv_len
+                mask = inb if mask is None else jnp.logical_and(mask, inb)
+            if masked and has_segments:
+                qseg = qseg_ref[0]  # [BQ, 1] column
+                kseg = kseg_ref[0]  # [1, BK] row
+                seg = qseg == kseg
+                mask = seg if mask is None else jnp.logical_and(mask, seg)
+            if mask is not None:
+                ss = jnp.where(mask, ss, MASK_VALUE)
+
+            off = LOG2_127 if fold_p127 else 0.0
+            alpha = None
+            if static_max:
+                # m_static is the launcher's Cauchy-Schwarz per-row logit
+                # bound (see the launcher note) — it overshoots the true row
+                # max by only a few base-2 units, absorbed by the f32/bf16
+                # exponent after exp2. The whole online-max machinery (max
+                # reduce, alpha, accumulator rescale) vanishes: softmax
+                # becomes one shifted exp2 + plain accumulation.
+                shifted = ss - (mstat_ref[0, 0] - off)  # [BQ,BK] - [BQ,1]
+                p = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
+            else:
+                m_prev = m_scr[...]  # [BQ, 128] (replicated)
+                m_curr = jnp.max(ss, axis=-1, keepdims=True)  # [BQ, 1]
+                m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+                alpha = jnp.exp2(m_prev - m_next)  # [BQ, 128]
+                shifted = ss - (m_next[:, :1] - off)
+                p = jnp.exp2(shifted.astype(jnp.bfloat16) if bf16_softmax else shifted)
+                m_scr[...] = m_next
+            if fold_p127:
+                # Round-to-nearest via +0.5 then truncating convert; max
+                # value 127.49 -> 127 (no overflow).
+                p8 = (p + jnp.asarray(0.5, p.dtype)).astype(jnp.int8)
+                l_curr = jnp.sum(
+                    p8, axis=-1, keepdims=True, dtype=jnp.int32
+                ).astype(jnp.float32)
+            else:
+                l_curr = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            if static_max:
+                l_scr[...] = l_scr[...] + jnp.broadcast_to(l_curr, l_scr.shape)
+            else:
+                l_scr[...] = alpha * l_scr[...] + jnp.broadcast_to(l_curr, l_scr.shape)
+
+            v = v_ref[0, 0]  # [BK, D] float | int8
+            if masked and mask_v_edge:
+                # Seq dims are not physically padded; the edge KV block reads
+                # whatever lies past the array end. p for those columns is
+                # exactly 0 (masked to MASK_VALUE pre-exp2), but 0 * NaN =
+                # NaN would still poison the accumulator through P@V, so
+                # float V garbage rows are zeroed here (int8 V is finite).
+                # Edge blocks always take the masked branch.
+                rows_left = kv_len - j * block_kv
+                vrow = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
+                v = jnp.where(vrow < rows_left, v, 0)
+            if fold_p127:
+                pv = jax.lax.dot_general(
+                    p8, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(pv_dtype),
+                    v.astype(pv_dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if static_max:
+                acc_scr[...] = acc_scr[...] + pv
+            else:
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        # Mask-split (K-major twin): interior blocks skip the iota/where
+        # passes. Segment masks can land anywhere -> always masked.
+        if has_segments:
+            _tail(True)
         else:
-            pv = jax.lax.dot_general(
-                p.astype(pv_dtype),
-                v.astype(pv_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        if static_max:
-            acc_scr[...] = acc_scr[...] + pv
-        else:
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            dyn = None
+            if mask_split:
+                if causal:
+                    dyn = j * block_kv + block_kv - 1 > i * block_q
+                if kv_edge:
+                    e = j == cdiv(kv_len, block_kv) - 1
+                    dyn = e if dyn is None else jnp.logical_or(dyn, e)
+            if dyn is None:
+                _tail(causal or kv_edge)
+            else:
+                @pl.when(dyn)
+                def _masked():
+                    _tail(True)
+
+                @pl.when(jnp.logical_not(dyn))
+                def _unmasked():
+                    _tail(False)
 
     @pl.when(is_last)
     def _finalize():
@@ -707,9 +743,12 @@ def _attn_body(
         m = mstat_ref[0, 0] if static_max else m_scr[...][:, :1]
         # Zero-valid-key rows emit the NEG_INIT sentinel in BOTH softmax
         # modes (static_max's m is a finite bound, not the running max) so
-        # LSE-weighted recombination (ring) gives them weight 0.
-        lse2 = jnp.where(l == 0.0, NEG_INIT, m + jnp.log2(l_safe))  # base-2
-        lse_ref[0, 0] = lse2  # [BQ, 1] column
+        # LSE-weighted recombination (ring) gives them weight 0. fold_p127's
+        # x127 weight scale cancels in acc/l; only the LSE undoes it.
+        lse2 = m + jnp.log2(l_safe)  # base-2
+        if v_quantized and pv_int8:
+            lse2 = lse2 - LOG2_127
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INIT, lse2)  # [BQ, 1] column
 
 
 def lowbit_attention(
@@ -747,6 +786,11 @@ def lowbit_attention(
     # (cos 0.9998 vs 0.9994 at hd128). Generations whose int8 MXU advantage
     # outweighs a VPU pass can flip it back on.
     pv_int8: bool = False,
+    # Mask-split (skip iota/where on interior blocks via a pl.when pair)
+    # HURTS the Q-major schedule on v5e (within-process A/B, fp causal
+    # s4096: 5.89 vs 5.24 ms — the duplicated tail outweighs the saved
+    # passes); the K-major kernel defaults it ON (small win there).
+    mask_split: bool = False,
     pv_dtype=jnp.bfloat16,
     block_q: int = 1024,
     block_kv: int = 1024,
@@ -973,6 +1017,7 @@ def lowbit_attention(
         sm_scale_log2e=float(sm_scale) * LOG2E,
         pv_dtype=pv_dtype,
         mask_v_edge=mask_v_edge,
+        mask_split=bool(mask_split),
     )
 
     # Causal halves the average work per kv row; reflect it in the cost
@@ -1058,6 +1103,7 @@ def lowbit_attention_km(
     logit_cap: float = 0.0,
     softmax_dtype=None,
     k_scale_uniform: bool = False,
+    mask_split: bool = True,
     pv_dtype=jnp.bfloat16,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -1248,6 +1294,7 @@ def lowbit_attention_km(
         mask_v_edge=mask_v_edge,
         softmax_dtype=softmax_dtype,
         ks_uniform=bool(k_scale_uniform),
+        mask_split=bool(mask_split),
     )
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
     cost = pl.CostEstimate(
