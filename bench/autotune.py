@@ -47,6 +47,10 @@ def main():
                    default=[512, 1024, 2048, 4096])
     p.add_argument("--block_kv", type=int, nargs="+",
                    default=[256, 512, 1024])
+    p.add_argument("--save", action="store_true",
+                   help="persist the winner to the tuning cache "
+                        "(utils/tuning.py); the API then uses it whenever "
+                        "block_q/block_kv are left unset for this shape")
     args = p.parse_args()
 
     b, h, s, d = args.batch, args.heads, args.seq, args.head_dim
@@ -93,6 +97,14 @@ def main():
                 best = row
     print(json.dumps({"best": best, "space": args.space, "seq": s,
                       "causal": args.causal}), flush=True)
+    if args.save and best is not None:
+        from lowbit_quant_fa2_paddle_tpu.utils import tuning
+
+        path = tuning.record(
+            "km" if args.space == "k" else "q", d, s, args.causal,
+            best["block_q"], best["block_kv"], best["tflops"],
+        )
+        print(json.dumps({"saved": path}), flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lowbit_quant_fa2_paddle_tpu.ops.quant import cdiv, default_interpret
+from lowbit_quant_fa2_paddle_tpu.utils import tuning
 
 LOG2E = math.log2(math.e)
 LOG2_127 = math.log2(127.0)
@@ -1181,10 +1182,21 @@ def lowbit_attention_km(
     has_segments = q_segment_ids is not None
     has_bias = bias is not None
 
-    if block_q is None:
-        block_q = 1024 if is_causal else _pick_block_q_km(s_q, d)
-    if block_kv is None:
-        block_kv = 1024 if is_causal else 512
+    if block_q is None or block_kv is None:
+        # Durable autotune results (bench/autotune.py --save) override the
+        # built-in measured defaults for exactly-matching shapes (the cache
+        # key includes the device kind, so CPU/interpret runs never pick up
+        # TPU-tuned blocks and vice versa).
+        tuned = tuning.lookup("km", d, s_k, is_causal)
+        if tuned is not None:
+            tq, tk = tuned
+            block_q = tq if block_q is None else block_q
+            block_kv = tk if block_kv is None else block_kv
+        else:
+            if block_q is None:
+                block_q = 1024 if is_causal else _pick_block_q_km(s_q, d)
+            if block_kv is None:
+                block_kv = 1024 if is_causal else 512
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
 

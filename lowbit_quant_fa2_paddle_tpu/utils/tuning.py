@@ -1,0 +1,108 @@
+"""Persistent block-size tuning cache for the attention kernels.
+
+The reference bakes its tuning as static per-kernel constant tables
+(num_warps/num_stages in every Triton file, e.g. reference
+src/triton/attn_qk_int8_per_block.py:169-238, chosen once for its GPUs).
+On TPU any block shape compiles on demand, so tuning is a runtime sweep
+(bench/autotune.py); this module makes its results durable: the launcher
+consults the cache before falling back to the built-in measured defaults.
+
+Cache file: ``$LOWBIT_FA_TUNING_CACHE`` or ``~/.cache/lowbit_fa_tpu/
+tuning.json``. Entries are keyed by (device kind, kernel schedule,
+head_dim, seq, causal) — batch/head counts only scale the grid's parallel
+dims and don't move the per-block optimum.
+
+Usage:
+  python bench/autotune.py --seq 4096 --save       # sweep + record
+  # ...the API then picks the tuned blocks automatically when the caller
+  # leaves block_q/block_kv unset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Optional, Tuple
+
+_LOCK = threading.RLock()  # record() -> _load() re-enters
+_CACHE: Optional[dict] = None
+
+
+def cache_path() -> str:
+    return os.environ.get(
+        "LOWBIT_FA_TUNING_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "lowbit_fa_tpu", "tuning.json"
+        ),
+    )
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:  # backend not initialized / no devices
+        return "unknown"
+
+
+def _key(kernel: str, d: int, s: int, causal: bool, device: Optional[str]) -> str:
+    dev = device if device is not None else _device_kind()
+    return f"{dev}|{kernel}|d{d}|s{s}|c{int(bool(causal))}"
+
+
+def _load() -> dict:
+    global _CACHE
+    with _LOCK:
+        if _CACHE is None:
+            try:
+                with open(cache_path()) as f:
+                    _CACHE = json.load(f)
+            except (OSError, ValueError):
+                _CACHE = {}
+        return _CACHE
+
+
+def lookup(
+    kernel: str, d: int, s: int, causal: bool, device: Optional[str] = None
+) -> Optional[Tuple[int, int]]:
+    """Returns a tuned ``(block_q, block_kv)`` or None. Never raises."""
+    ent = _load().get(_key(kernel, d, s, causal, device))
+    if not ent:
+        return None
+    return int(ent["block_q"]), int(ent["block_kv"])
+
+
+def record(
+    kernel: str,
+    d: int,
+    s: int,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    tflops: float = 0.0,
+    device: Optional[str] = None,
+) -> str:
+    """Persist a tuning entry; returns the cache path."""
+    path = cache_path()
+    with _LOCK:
+        cache = _load()
+        cache[_key(kernel, d, s, causal, device)] = {
+            "block_q": int(block_q),
+            "block_kv": int(block_kv),
+            "tflops": float(tflops),
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    return path
+
+
+def clear_memory_cache() -> None:
+    """Drop the in-process copy (tests; pick up external edits)."""
+    global _CACHE
+    with _LOCK:
+        _CACHE = None

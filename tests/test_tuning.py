@@ -1,0 +1,71 @@
+"""Durable block-size tuning cache (utils/tuning.py) + launcher wiring."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowbit_quant_fa2_paddle_tpu.ops import quant as q_ops
+from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention_km
+from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+from lowbit_quant_fa2_paddle_tpu.utils import tuning
+
+
+@pytest.fixture()
+def tmp_cache(tmp_path, monkeypatch):
+    path = str(tmp_path / "tuning.json")
+    monkeypatch.setenv("LOWBIT_FA_TUNING_CACHE", path)
+    tuning.clear_memory_cache()
+    yield path
+    tuning.clear_memory_cache()
+
+
+def test_record_lookup_roundtrip(tmp_cache):
+    assert tuning.lookup("km", 64, 4096, False, device="v5e") is None
+    p = tuning.record("km", 64, 4096, False, 2048, 512, 88.6, device="v5e")
+    assert p == tmp_cache
+    assert tuning.lookup("km", 64, 4096, False, device="v5e") == (2048, 512)
+    # distinct keys: causal flag, seq, device
+    assert tuning.lookup("km", 64, 4096, True, device="v5e") is None
+    assert tuning.lookup("km", 64, 8192, False, device="v5e") is None
+    assert tuning.lookup("km", 64, 4096, False, device="other") is None
+    # survives a fresh in-process load
+    tuning.clear_memory_cache()
+    assert tuning.lookup("km", 64, 4096, False, device="v5e") == (2048, 512)
+    with open(tmp_cache) as f:
+        raw = json.load(f)
+    assert list(raw.values())[0]["tflops"] == 88.6
+
+
+def test_corrupt_cache_never_raises(tmp_cache):
+    with open(tmp_cache, "w") as f:
+        f.write("{not json")
+    tuning.clear_memory_cache()
+    assert tuning.lookup("km", 64, 512, False) is None
+    # and record still works (overwrites the corrupt file)
+    tuning.record("km", 64, 512, False, 256, 256)
+    assert tuning.lookup("km", 64, 512, False) == (256, 256)
+
+
+def test_launcher_uses_tuned_blocks(tmp_cache):
+    # Record blocks for THIS device kind and shape; the kernel must still be
+    # exact (any legal block shape is semantically identical), proving the
+    # cache path at least doesn't corrupt results; the pick itself is probed
+    # via the recorded device-kind key being the one the launcher builds.
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, h, s, d = 1, 2, 512, 64
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    qT, qs = q_ops.quant_int8(q, gran="per_token", layout="ds")
+    kc, ksc = q_ops.quant_int8(k, gran="per_token")
+    tuning.record("km", d, s, False, 256, 128)
+    o = lowbit_attention_km(qT, kc, jnp.swapaxes(v, 2, 3), qs, ksc)
+    ref = attention_reference(q, k, v)
+    assert float(cosine_similarity(jnp.swapaxes(o, 2, 3).astype(jnp.float32), ref)) > 0.999
+    # the entry the launcher looked up is the one we wrote (same key fn)
+    assert tuning.lookup("km", d, s, False) == (256, 128)
