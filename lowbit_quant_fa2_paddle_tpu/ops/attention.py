@@ -1196,7 +1196,11 @@ def lowbit_attention_km(
             if block_q is None:
                 block_q = 1024 if is_causal else _pick_block_q_km(s_q, d)
             if block_kv is None:
-                block_kv = 1024 if is_causal else 512
+                # bk1024 beats bk512 at every measured shape that fits the
+                # bq*bk <= 2M VMEM cap (d64 s2048: 80.5 vs 79.3 TF; d128
+                # s4096: 149.9 vs 145.1; d128 s1024: 129.8 vs 113.8); only
+                # the bq4096 long-seq d64 tile needs the narrower 512.
+                block_kv = 1024 if is_causal else (512 if block_q >= 4096 else 1024)
     block_q = min(block_q, max(128, s_q))
     block_kv = min(block_kv, max(128, s_k))
 
