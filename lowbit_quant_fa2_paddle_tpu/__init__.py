@@ -34,6 +34,10 @@ from lowbit_quant_fa2_paddle_tpu.core import (
     sageattn_multi_precision,
 )
 from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp
+from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import (
+    flash_attention_trainable,
+    lowbit_attention_trainable,
+)
 
 __version__ = "0.1.0"
 
@@ -47,6 +51,8 @@ __all__ = [
     "lowbit_fa_varlen",
     "lowbit_fa_multi_precision",
     "flash_attention_fp",
+    "flash_attention_trainable",
+    "lowbit_attention_trainable",
     "lowbit_fa_qk_int8_pv_fp16_triton",
     "lowbit_fa_qk_int8_pv_fp16_cuda",
     "lowbit_fa_qk_int8_pv_fp8_cuda",

@@ -7,6 +7,8 @@ functional (pure pytree params + jit-able apply), with the attention
 implementation pluggable per call:
 
 * ``attn_impl='exact'``   — jnp einsum attention (differentiable; training)
+* ``attn_impl='int8_train'`` — INT8 forward + straight-through fp backward
+  (quantization-aware training against the serving kernel)
 * ``attn_impl='fp'``      — Pallas FA2 kernel (bf16 inference baseline)
 * ``attn_impl='int8'``    — INT8-QK Pallas path (the product)
 * ``attn_impl='int8_v8'`` — INT8-QK + INT8-V (fp8-PV analog)
@@ -190,6 +192,14 @@ def _attention(q, k, v, impl: str, interpret: Optional[bool]):
         )
 
         return flash_attention_trainable(q, k, v).astype(q.dtype)
+    if impl == "int8_train":
+        # Quantization-aware training: INT8 forward (the serving kernel),
+        # straight-through fp backward — train against what you deploy.
+        from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import (
+            lowbit_attention_trainable,
+        )
+
+        return lowbit_attention_trainable(q, k, v).astype(q.dtype)
     if impl == "fp":
         return flash_attention_fp(q, k, v, interpret=interpret).astype(q.dtype)
     if impl == "int8":

@@ -232,3 +232,64 @@ def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
 
 
 flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Trainable QUANTIZED attention: INT8 forward, fp backward (straight-through)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def lowbit_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
+                               block_q=512, block_kv=512):
+    """Differentiable INT8-QK attention (quantization-aware training style).
+
+    Forward is the production int8 path (per-token quant + smooth-K through
+    ``core.lowbit_fa_qk_int8_pv_fp16``); backward runs the exact fp FA-2
+    backward kernels with the straight-through convention: gradients are
+    computed from the FULL-PRECISION q/k/v but normalized by the ACTUAL
+    quantized forward's (o, lse) residuals — the quantizer itself passes
+    gradients through unchanged. Beyond the reference (its only autograd is
+    the 4-bit weight matmul, src/triton/utils/quant/qmodule.py:33-112);
+    this lets models train against the same kernel they will serve with.
+
+    The kernel's smooth-K shift is softmax-invariant, and the returned LSE
+    is already corrected back to unshifted-logit convention
+    (core._finish_lse), so the backward sees a consistent softmax.
+    """
+    o, _ = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    return o
+
+
+def _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv):
+    # Local import: core -> ops.attention; this module is imported by tests
+    # and models independently of core.
+    from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
+
+    o, lse = lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, return_lse=True,
+    )
+    return o.astype(q.dtype), lse  # lse: natural log, unshifted convention
+
+
+def _lowbit_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv):
+    o, lse = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    return o, (q, k, v, o, lse)
+
+
+def _lowbit_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
+    q, k, v, o, lse = res
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    lse2 = lse.astype(jnp.float32) * LOG2E  # -> base-2 for the bwd kernels
+    bq = min(block_q, q.shape[2])
+    bk = min(block_kv, k.shape[2])
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
+        block_q=bq, block_kv=bk,
+    )
+    return dq, dk, dv
+
+
+lowbit_attention_trainable.defvjp(_lowbit_fwd, _lowbit_bwd_rule)
