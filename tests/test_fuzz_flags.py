@@ -44,6 +44,10 @@ def _sample(seed):
         bias=r.choice([None, None, "vec", "mat"]),
         logit_cap=r.choice([0.0, 0.0, 25.0]),
         fused_q=r.random() < 0.3,
+        # round-2 flags: per-schedule mask-split and true int8 P@V
+        mask_split_q=r.random() < 0.5,
+        mask_split_k=r.random() < 0.5,
+        pv_int8=r.random() < 0.3,
     )
 
 
@@ -86,6 +90,10 @@ def test_flag_combination(seed):
         kw_q["bias"] = kw_k["bias"] = bias
     kw_q["logit_cap"] = kw_k["logit_cap"] = c["logit_cap"]
     kw_q["is_causal"] = kw_k["is_causal"] = c["causal"]
+    kw_q["mask_split"] = c["mask_split_q"]
+    kw_k["mask_split"] = c["mask_split_k"]
+    if c["v_int8"] and c["pv_int8"]:
+        kw_q["pv_int8"] = kw_k["pv_int8"] = True
 
     if c["fused_q"]:
         o = lowbit_attention(q, kc, v_in, k_scale=ksc, fused_quant_q=True,
@@ -127,6 +135,8 @@ def test_flag_combination(seed):
         tol = 0.999 if c["k_bits"] == 8 else 0.97
         if c["v_int8"]:
             tol = min(tol, 0.998)
+        if c["v_int8"] and c["pv_int8"]:
+            tol = min(tol, 0.995)  # 8-bit softmax weights
         cos_ref = float(cosine_similarity(
             jnp.where(valid, o, 0), jnp.where(valid, o_ref, 0)))
         assert cos_ref > tol, (c, cos_ref)
