@@ -162,7 +162,7 @@ def main():
                 "bits": bits,
                 "seq": s,
                 "causal": args.causal,
-                "space": args.space if bits != "fp" else "q",
+                "space": args.space if bits != "fp" else "k",  # fp routes K-major since round 2
                 "tflops": round(tflops(flops, t), 2),
                 "ms": round(t * 1e3, 3),
             }

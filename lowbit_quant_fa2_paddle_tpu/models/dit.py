@@ -10,6 +10,7 @@ implementation pluggable per call:
 * ``attn_impl='int8_train'`` — INT8 forward + straight-through fp backward
   (quantization-aware training against the serving kernel)
 * ``attn_impl='fp'``      — Pallas FA2 kernel (bf16 inference baseline)
+* ``attn_impl='fp_t'``    — float twin of the native transposed dataflow
 * ``attn_impl='int8'``    — INT8-QK Pallas path (the product)
 * ``attn_impl='int8_v8'`` — INT8-QK + INT8-V (fp8-PV analog)
 * ``attn_impl='int4'``    — INT8-Q x INT4-K path
@@ -226,9 +227,19 @@ def _attention_km_native(p: Params, xa: jax.Array, h: int, hd: int,
     d = xa.shape[-1]
     w3 = p["qkv"]["w"].reshape(d, 3, h, hd)
     b3 = p["qkv"]["b"].reshape(3, h, hd)
-    q = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 0]) + b3[0][None, :, None, :]
     k = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 1]) + b3[1][None, :, None, :]
     vT = jnp.einsum("bse,ehd->bhds", xa, w3[:, 2]) + b3[2][None, :, :, None]
+    if attn_impl == "fp_t":
+        # Float twin of the native dataflow: Q^T straight from the
+        # projection's dimension numbers, no quantization anywhere.
+        qT = jnp.einsum("bse,ehd->bhds", xa, w3[:, 0]) + b3[0][None, :, :, None]
+        return lowbit_attention_km(
+            qT, k, vT, None, None,
+            sm_scale=1.0 / math.sqrt(hd),
+            out_dtype=xa.dtype,
+            interpret=interpret,
+        )
+    q = jnp.einsum("bse,ehd->bhsd", xa, w3[:, 0]) + b3[0][None, :, None, :]
     km_mean = quant_ops.k_mean(k)
     if attn_impl == "int4_t":
         k_codes, k_scale = quant_ops.quant_int4(k, km_mean, gran="per_token", interpret=interpret)
@@ -258,7 +269,7 @@ def dit_block_forward(p: Params, x: jax.Array, c: jax.Array, cfg: DiTConfig,
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
 
     xa = _layer_norm(x) * (1 + sc_a) + sh_a
-    if (attn_impl in ("int8_t", "int4_t") and "w" in p["qkv"]
+    if (attn_impl in ("int8_t", "int4_t", "fp_t") and "w" in p["qkv"]
             and "w" in p["proj"] and hd % 64 == 0):
         oT = _attention_km_native(p, xa, h, hd, attn_impl, interpret)
         # O^T folds into the output projection's contraction dims — the
@@ -268,7 +279,7 @@ def dit_block_forward(p: Params, x: jax.Array, c: jax.Array, cfg: DiTConfig,
         o_proj = jnp.einsum("bhds,hde->bse", oT.astype(x.dtype), wp.reshape(h, hd, d))
         x = x + g_a * (o_proj + p["proj"]["b"])
     else:
-        if attn_impl in ("int8_t", "int4_t"):  # wq weights: flat-row gemv path
+        if attn_impl in ("int8_t", "int4_t", "fp_t"):  # no native-layout route
             attn_impl = attn_impl[:-2]
         qkv = _dense(p["qkv"], xa).reshape(b, s, 3, h, hd)
         q, k, v = (jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3))  # [B,H,S,hd]
