@@ -1387,8 +1387,7 @@ def flash_attention_fp(
     float variant benefits from the same full-lane PV / sublane-softmax
     schedule as the int8 path (measured b4 h32 d64 s4096: 85.8 vs 69.5 TF
     drop-in; the in/out transposes fuse into neighbours). ``"q"`` keeps the
-    Q-major kernel (it alone supports ``static_max`` and is the gradient
-    path's forward)."""
+    Q-major kernel (it alone supports ``static_max``)."""
     if schedule == "auto":
         schedule = "k"
     if schedule == "k":

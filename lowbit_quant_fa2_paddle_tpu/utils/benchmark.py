@@ -29,17 +29,24 @@ def _chained(fn: Callable, reps: int):
     """Jitted runner of ``reps`` serialized iterations of ``fn``.
 
     Both barrier outputs are consumed: the carry serializes iterations, and a
-    scalar probe of each iteration's output is summed into the fetched result
-    — XLA prunes unused optimization_barrier outputs, which would DCE the
-    whole chain."""
+    scalar probe of EVERY leaf of each iteration's output is summed into the
+    fetched result — XLA prunes unused optimization_barrier outputs, which
+    would DCE the producing computation. Probing only the first leaf is not
+    enough: for multi-output fns whose leaves come from independent
+    computations (e.g. ``value_and_grad`` — loss is leaf 0, grads are the
+    rest), the unprobed leaves' entire backward was measured DCE'd (fwd+bwd
+    "cost" 1.02x fwd until every leaf was consumed; true ratio 2.9x)."""
 
     @jax.jit
     def run(args):
         def body(carry, _):
             out = fn(*carry)
             carry, out = jax.lax.optimization_barrier((carry, out))
-            probe = jax.tree_util.tree_leaves(out)[0].ravel()[0]
-            return carry, probe.astype(jnp.float32)
+            probe = sum(
+                leaf.ravel()[0].astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            return carry, probe
 
         _, probes = jax.lax.scan(body, tuple(args), None, length=reps)
         return probes.sum()
