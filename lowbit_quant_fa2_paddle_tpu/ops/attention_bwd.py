@@ -59,8 +59,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc,
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
             s2 = jnp.where(col <= row, s2, MASK_VALUE)
         p = jnp.exp2(s2 - lse_ref[0, 0])  # [BQ, BK]; lse col [BQ,1]
+        # dO @ V^T on the native bf16 operands (f32 accum via preferred
+        # type; upcasting to f32 first measured a wash — Mosaic runs the
+        # cast-f32 dot no slower here — but bf16 is the intended rate).
         dov = jax.lax.dot_general(
-            do_ref[0, 0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+            do_ref[0, 0], v_ref[0, 0],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
         ds = p * (dov - di_ref[0, 0]) * (scale2 / LOG2E)
@@ -76,11 +79,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, acc_dk, acc_dv,
-                    *, block_q, block_kv, causal, scale2):
-    j, i = pl.program_id(2), pl.program_id(3)  # kv outer, q inner
-    nq = pl.num_programs(3)
+                    *, block_q, block_kv, causal, scale2, nq_blocks):
+    # kv outer; inner dim walks (group q-head, q block) pairs under GQA:
+    # dk/dv for one kv head accumulate over ALL q heads in its group.
+    j, ii = pl.program_id(2), pl.program_id(3)
+    n_inner = pl.num_programs(3)
+    i = jax.lax.rem(ii, nq_blocks)  # q block within the current q head
 
-    @pl.when(i == 0)
+    @pl.when(ii == 0)
     def _():
         acc_dk[...] = jnp.zeros_like(acc_dk)
         acc_dv[...] = jnp.zeros_like(acc_dv)
@@ -99,13 +105,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
             s2 = jnp.where(col <= row, s2, MASK_VALUE)
         p = jnp.exp2(s2 - lse_ref[0, 0])
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]  # bf16; dots accumulate f32 via preferred type
         acc_dv[...] += jax.lax.dot_general(
-            p.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), do,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         dov = jax.lax.dot_general(
-            do, v_ref[0, 0].astype(jnp.float32),
+            do, v_ref[0, 0],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
         ds = p * (dov - di_ref[0, 0]) * (scale2 / LOG2E)
@@ -114,16 +120,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
-    @pl.when(i == nq - 1)
+    @pl.when(ii == n_inner - 1)
     def _():
         dk_ref[0, 0] = acc_dk[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = acc_dv[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
-               block_q=512, block_kv=512, interpret=None):
+               block_q=1024, block_kv=1024, interpret=None):
     b, h, s_q, d = q.shape
-    s_k = k.shape[2]
+    hk, s_k = k.shape[1], k.shape[2]
+    assert h % hk == 0, (h, hk)
+    g = h // hk  # GQA group: dk/dv sum contributions from g q-heads
     if interpret is None:
         interpret = default_interpret()
     assert s_q % block_q == 0 and s_k % block_kv == 0, (s_q, s_k)
@@ -132,6 +140,7 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,Sq]
     lse_col = lse2[..., None]  # [B,H,Sq,1]
     di_col = di[..., None]
+    nq, nk = s_q // block_q, s_k // block_kv
 
     common_specs = dict(memory_space=pltpu.VMEM)
     qspec = lambda f: pl.BlockSpec((1, 1, block_q, d), f, **common_specs)
@@ -141,11 +150,11 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_q=block_q, block_kv=block_kv,
                           causal=is_causal, scale2=scale2),
-        grid=(b, h, s_q // block_q, s_k // block_kv),
+        grid=(b, h, nq, nk),
         in_specs=[
             qspec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            kspec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            kspec(lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
+            kspec(lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
             qspec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             qcol(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             qcol(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -159,21 +168,23 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
         interpret=interpret,
     )(q, k, v, do, lse_col, di_col)
 
+    # Inner dim walks (group head, q block) pairs: ii -> head hk*g + ii//nq,
+    # q block ii%nq. Plain q-head index maps fall out at g=1.
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, block_kv=block_kv,
-                          causal=is_causal, scale2=scale2),
-        grid=(b, h, s_k // block_kv, s_q // block_q),
+                          causal=is_causal, scale2=scale2, nq_blocks=nq),
+        grid=(b, hk, nk, g * nq),
         in_specs=[
-            qspec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
-            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
-            qspec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            qcol(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            qcol(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            qspec(lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)),
+            kspec(lambda bi, hi, ki, ii: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, ki, ii: (bi, hi, ki, 0)),
+            qspec(lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)),
+            qcol(lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)),
+            qcol(lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)),
         ],
         out_specs=[
-            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
-            kspec(lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, ki, ii: (bi, hi, ki, 0)),
+            kspec(lambda bi, hi, ki, ii: (bi, hi, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -191,11 +202,23 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
     return dq, dk, dv
 
 
+def _pick_block(s: int, pref: int) -> int:
+    """Largest power-of-two block <= pref that divides s (bwd kernels tile
+    the sequence exactly; 1024x1024 measured best on v5e — 11.06 vs 13.75 ms
+    non-causal, 9.07 vs 11.70 causal, b4 h16 s4096 d64, within-process)."""
+    b = min(pref, s)
+    while b > 1 and s % b:
+        b //= 2
+    return b
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
-                              block_q=512, block_kv=512):
-    """Differentiable Pallas flash attention (bf16/f32; same-shape q/k/v,
-    no GQA in the gradient path yet). Forward == flash_attention_fp."""
+                              block_q=1024, block_kv=1024):
+    """Differentiable Pallas flash attention (bf16/f32). Forward routes
+    ``flash_attention_fp``; GQA supported end-to-end (dk/dv accumulate the
+    whole q-head group in-kernel — no [B,H,S,D]-sized dk materialization
+    followed by a host-side group-sum)."""
     o, _ = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
     return o
 
@@ -224,9 +247,9 @@ def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
     d = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    # backward blocks must divide the (padded) seq used in fwd; clamp.
-    bq = min(block_q, q.shape[2])
-    bk = min(block_kv, k.shape[2])
+    # backward blocks must divide the seq exactly; pick the largest that does.
+    bq = _pick_block(q.shape[2], block_q)
+    bk = _pick_block(k.shape[2], block_kv)
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
         block_q=bq, block_kv=bk,
@@ -244,7 +267,7 @@ flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def lowbit_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
-                               block_q=512, block_kv=512):
+                               block_q=1024, block_kv=1024):
     """Differentiable INT8-QK attention (quantization-aware training style).
 
     Forward is the production int8 path (per-token quant + smooth-K through
@@ -286,8 +309,8 @@ def _lowbit_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     lse2 = lse.astype(jnp.float32) * LOG2E  # -> base-2 for the bwd kernels
-    bq = min(block_q, q.shape[2])
-    bk = min(block_kv, k.shape[2])
+    bq = _pick_block(q.shape[2], block_q)
+    bk = _pick_block(k.shape[2], block_kv)
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
         block_q=bq, block_kv=bk,

@@ -88,3 +88,34 @@ def test_lowbit_trainable_grads_match_fp():
         # int8 quantization noise in the residuals propagates through the
         # softmax jacobian; measured ~0.995 cos at this shape.
         assert float(cosine_similarity(a, b_)) > 0.99
+
+
+@pytest.mark.parametrize("hk", [1, 2])
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_grads_match_exact(hk, causal):
+    """GQA/MQA gradient path: dk/dv accumulate the whole q-head group
+    in-kernel (grid inner dim walks (group head, q block) pairs)."""
+    b, h, s, d = 1, 4, 384, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hk, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hk, s, d), jnp.float32)
+    t = jax.random.normal(ks[3], q.shape)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, causal, None, 128, 128)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    def loss_exact(q, k, v):
+        o = attention_reference(q, k, v, is_causal=causal)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_e = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_f, g_e):
+        assert a.shape == b_.shape, (name, a.shape, b_.shape)
+        cos = float(cosine_similarity(a, b_))
+        assert cos > 0.999, (name, cos)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-2, rtol=5e-2, err_msg=name
+        )

@@ -21,6 +21,9 @@ CASES = [
     (1, 2, 2, 64, 2048, 64, False),     # short q, long kv
     (1, 2, 2, 1031, 1031, 96, True),    # head_dim 96 (pads to 128)
     (2, 4, 4, 300, 300, 32, True),      # head_dim 32 (pads to 64)
+    (1, 2, 1, 384, 384, 192, True),     # head_dim 192 (pads to 256), MQA
+    (1, 2, 2, 511, 513, 256, False),    # head_dim 256 (reference dispatch
+                                        # ceiling, dispatch_utils.h:23-99)
 ]
 
 
