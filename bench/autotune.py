@@ -41,7 +41,7 @@ def main():
     p.add_argument("--heads", type=int, default=32)
     p.add_argument("--head_dim", type=int, default=64)
     p.add_argument("--seq", type=int, default=4096)
-    p.add_argument("--space", default="k", choices=["k", "q"])
+    p.add_argument("--space", default="k", choices=["k", "q", "bwd"])
     p.add_argument("--causal", action="store_true")
     p.add_argument("--block_q", type=int, nargs="+",
                    default=[512, 1024, 2048, 4096])
@@ -60,7 +60,26 @@ def main():
     v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
     flops = attention_flops(b, h, d, s, s, args.causal)
 
-    if args.space == "k":
+    if args.space == "bwd":
+        # Backward kernels (dq + dkv): sweep over fixed fwd residuals.
+        from lowbit_quant_fa2_paddle_tpu.ops.attention import flash_attention_fp
+        from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import _flash_bwd
+
+        o, lse2 = jax.jit(
+            lambda q, k, v: flash_attention_fp(
+                q, k, v, is_causal=args.causal, return_lse=True
+            )
+        )(q, k, v)
+        do = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
+        fargs = (q, k, v, jax.block_until_ready(o), lse2, do)
+
+        def kernel(q, k, v, o, l, g, is_causal, block_q, block_kv):
+            return _flash_bwd(q, k, v, o, l, g, is_causal=is_causal,
+                              sm_scale=1.0 / d ** 0.5,
+                              block_q=block_q, block_kv=block_kv)
+
+        flops = int(flops * 2.5)  # dq/dk/dv: 5 block matmuls vs fwd's 2
+    elif args.space == "k":
         qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds")
         kc, ksc = q_ops.quant_int8(k, gran="per_token")
         fargs = (qc, kc, jnp.swapaxes(v, 2, 3), qs, ksc)
@@ -77,8 +96,8 @@ def main():
             if bq > s or bkv > s:
                 continue
             fn = jax.jit(
-                lambda a, b2, c, d2, e, _bq=bq, _bkv=bkv: kernel(
-                    a, b2, c, d2, e, is_causal=args.causal,
+                lambda *xs, _bq=bq, _bkv=bkv: kernel(
+                    *xs, is_causal=args.causal,
                     block_q=_bq, block_kv=_bkv,
                 )
             )
@@ -100,8 +119,9 @@ def main():
     if args.save and best is not None:
         from lowbit_quant_fa2_paddle_tpu.utils import tuning
 
+        name = {"k": "km", "q": "q", "bwd": "bwd"}[args.space]
         path = tuning.record(
-            "km" if args.space == "k" else "q", d, s, args.causal,
+            name, d, s, args.causal,
             best["block_q"], best["block_kv"], best["tflops"],
         )
         print(json.dumps({"saved": path}), flush=True)

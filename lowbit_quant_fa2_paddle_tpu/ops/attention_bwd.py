@@ -34,6 +34,7 @@ from lowbit_quant_fa2_paddle_tpu.ops.attention import (
     flash_attention_fp,
 )
 from lowbit_quant_fa2_paddle_tpu.ops.quant import default_interpret
+from lowbit_quant_fa2_paddle_tpu.utils import tuning
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc,
@@ -127,13 +128,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
-               block_q=1024, block_kv=1024, interpret=None):
+               block_q=None, block_kv=None, interpret=None):
     b, h, s_q, d = q.shape
     hk, s_k = k.shape[1], k.shape[2]
     assert h % hk == 0, (h, hk)
     g = h // hk  # GQA group: dk/dv sum contributions from g q-heads
     if interpret is None:
         interpret = default_interpret()
+    if block_q is None or block_kv is None:
+        tuned = tuning.lookup("bwd", d, s_q, is_causal)
+        tq, tk = tuned if tuned else (1024, 1024)  # measured default, v5e
+        block_q = block_q or tq
+        block_kv = block_kv or tk
+    block_q = _pick_block(s_q, block_q)
+    block_kv = _pick_block(s_k, block_kv)
     assert s_q % block_q == 0 and s_k % block_kv == 0, (s_q, s_k)
     scale2 = float(sm_scale) * LOG2E
 
@@ -214,7 +222,7 @@ def _pick_block(s: int, pref: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
-                              block_q=1024, block_kv=1024):
+                              block_q=None, block_kv=None):
     """Differentiable Pallas flash attention (bf16/f32). Forward routes
     ``flash_attention_fp``; GQA supported end-to-end (dk/dv accumulate the
     whole q-head group in-kernel — no [B,H,S,D]-sized dk materialization
@@ -248,11 +256,10 @@ def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     # backward blocks must divide the seq exactly; pick the largest that does.
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_kv)
+    # None -> tuned/default blocks resolved inside _flash_bwd.
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
-        block_q=bq, block_kv=bk,
+        block_q=block_q, block_kv=block_kv,
     )
     return dq, dk, dv
 
@@ -267,7 +274,7 @@ flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def lowbit_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
-                               block_q=1024, block_kv=1024):
+                               block_q=None, block_kv=None):
     """Differentiable INT8-QK attention (quantization-aware training style).
 
     Forward is the production int8 path (per-token quant + smooth-K through
@@ -309,11 +316,10 @@ def _lowbit_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     lse2 = lse.astype(jnp.float32) * LOG2E  # -> base-2 for the bwd kernels
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_kv)
+    # None -> tuned/default blocks resolved inside _flash_bwd.
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
-        block_q=bq, block_kv=bk,
+        block_q=block_q, block_kv=block_kv,
     )
     return dq, dk, dv
 
