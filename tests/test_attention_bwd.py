@@ -119,3 +119,37 @@ def test_gqa_grads_match_exact(hk, causal):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-2, rtol=5e-2, err_msg=name
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bwd_fuzz_shapes(seed):
+    """Randomized backward fuzz: shapes, GQA group, causal flag, block
+    sizes — gradients must track jax.grad of the exact oracle."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    g = rng.choice([1, 2, 4])
+    hk = rng.choice([1, 2])
+    h = hk * g
+    s = rng.choice([256, 384, 512])
+    d = rng.choice([64, 128])
+    causal = rng.random() < 0.5
+    bq = rng.choice([128, 256])
+    ks = jax.random.split(jax.random.PRNGKey(seed + 100), 4)
+    q = jax.random.normal(ks[0], (1, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (1, hk, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (1, hk, s, d), jnp.float32)
+    t = jax.random.normal(ks[3], q.shape)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_trainable(q, k, v, causal, None, bq, bq) * t)
+
+    def loss_exact(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, is_causal=causal).astype(jnp.float32) * t)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_e = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    cfg = dict(h=h, hk=hk, s=s, d=d, causal=causal, bq=bq)
+    for name, a, b_ in zip("qkv", g_f, g_e):
+        cos = float(cosine_similarity(a, b_))
+        assert cos > 0.999, (name, cos, cfg)
