@@ -213,7 +213,12 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
 def _pick_block(s: int, pref: int) -> int:
     """Largest power-of-two block <= pref that divides s (bwd kernels tile
     the sequence exactly; 1024x1024 measured best on v5e — 11.06 vs 13.75 ms
-    non-causal, 9.07 vs 11.70 causal, b4 h16 s4096 d64, within-process)."""
+    non-causal, 9.07 vs 11.70 causal, b4 h16 s4096 d64, within-process).
+
+    Unlike the forward kernels (in-kernel edge handling), the backward
+    requires block-divisible sequence lengths: a non-power-of-two-friendly
+    length degrades to small blocks (correct, slower). Training shapes are
+    block multiples in practice; pad the sequence if yours is not."""
     b = min(pref, s)
     while b > 1 and s % b:
         b //= 2
