@@ -140,15 +140,33 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
         tq, tk = tuned if tuned else (1024, 1024)  # measured default, v5e
         block_q = block_q or tq
         block_kv = block_kv or tk
-    block_q = _pick_block(s_q, block_q)
-    block_kv = _pick_block(s_k, block_kv)
-    assert s_q % block_q == 0 and s_k % block_kv == 0, (s_q, s_k)
+    block_q = min(block_q, 1 << (s_q - 1).bit_length())
+    block_kv = min(block_kv, 1 << (s_k - 1).bit_length())
     scale2 = float(sm_scale) * LOG2E
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    # Non-block-multiple lengths: zero-pad operands and pad LSE with +inf.
+    # The math then needs NO in-kernel edge masks: padded q rows see
+    # p = exp2(s2 - inf) = 0 (so dk/dv take no contribution and their own
+    # dq rows are sliced off), and padded k/v rows are zeros (so dq takes
+    # ds @ 0; the garbage dk/dv rows are sliced off). Keeps the kernels
+    # mask-free at full tuned block sizes on any length (e.g. the DiT
+    # flagship s=17776, which would otherwise degrade to tiny blocks).
+    s_q_p = -(-s_q // block_q) * block_q
+    s_k_p = -(-s_k // block_kv) * block_kv
+    if s_q_p != s_q:
+        pq = [(0, 0), (0, 0), (0, s_q_p - s_q), (0, 0)]
+        q, do, o = (jnp.pad(x, pq) for x in (q, do, o))
+        lse2 = jnp.pad(lse2, pq[:3], constant_values=jnp.inf)
+        di = jnp.pad(di, pq[:3])
+    if s_k_p != s_k:
+        pk = [(0, 0), (0, 0), (0, s_k_p - s_k), (0, 0)]
+        k, v = jnp.pad(k, pk), jnp.pad(v, pk)
+
     lse_col = lse2[..., None]  # [B,H,Sq,1]
     di_col = di[..., None]
-    nq, nk = s_q // block_q, s_k // block_kv
+    nq, nk = s_q_p // block_q, s_k_p // block_kv
 
     common_specs = dict(memory_space=pltpu.VMEM)
     qspec = lambda f: pl.BlockSpec((1, 1, block_q, d), f, **common_specs)
@@ -207,22 +225,11 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
         ),
         interpret=interpret,
     )(q, k, v, do, lse_col, di_col)
+    if s_q_p != s_q:
+        dq = dq[:, :, :s_q]
+    if s_k_p != s_k:
+        dk, dv = dk[:, :, :s_k], dv[:, :, :s_k]
     return dq, dk, dv
-
-
-def _pick_block(s: int, pref: int) -> int:
-    """Largest power-of-two block <= pref that divides s (bwd kernels tile
-    the sequence exactly; 1024x1024 measured best on v5e — 11.06 vs 13.75 ms
-    non-causal, 9.07 vs 11.70 causal, b4 h16 s4096 d64, within-process).
-
-    Unlike the forward kernels (in-kernel edge handling), the backward
-    requires block-divisible sequence lengths: a non-power-of-two-friendly
-    length degrades to small blocks (correct, slower). Training shapes are
-    block multiples in practice; pad the sequence if yours is not."""
-    b = min(pref, s)
-    while b > 1 and s % b:
-        b //= 2
-    return b
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -153,3 +153,31 @@ def test_bwd_fuzz_shapes(seed):
     for name, a, b_ in zip("qkv", g_f, g_e):
         cos = float(cosine_similarity(a, b_))
         assert cos > 0.999, (name, cos, cfg)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_non_multiple_seq(causal):
+    """Backward on non-block-multiple lengths (zero-pad + inf-LSE padding;
+    the flagship DiT trains at s=17776, not a block multiple)."""
+    b, h, s, d = 1, 2, 300, 64
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    t = jax.random.normal(ks[3], q.shape)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, causal, None, 128, 128)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    def loss_exact(q, k, v):
+        o = attention_reference(q, k, v, is_causal=causal)
+        return jnp.sum(o.astype(jnp.float32) * t)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_e = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_f, g_e):
+        assert a.shape == b_.shape
+        assert not bool(jnp.any(jnp.isnan(a))), name
+        cos = float(cosine_similarity(a, b_))
+        assert cos > 0.999, (name, cos)
