@@ -9,7 +9,12 @@
 //     host paths) — vectorizable tight loops over numpy buffers;
 //   * a paged-KV page allocator (free-list block manager) for serving —
 //     the runtime memory-management piece (role the external serving stack
-//     plays for the reference's sglang decode kernel).
+//     plays for the reference's sglang decode kernel);
+//   * a continuous-batching request scheduler (FIFO admission over slots +
+//     pages, lazy page allocation with worst-case reservation accounting so
+//     decode-time growth can never OOM) — the serving-runtime control plane
+//     around ops/decode.py's paged kernel (role sglang's scheduler plays for
+//     the reference's decode path, src/triton/utils/main.py:14-15).
 //
 // Exposed via the raw CPython C API (no pybind11 in this image). The Python
 // side (lowbit_quant_fa2_paddle_tpu/host/__init__.py) falls back to numpy
@@ -266,6 +271,253 @@ static PyObject* allocator_stats(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------------
+// Continuous-batching scheduler (serving control plane)
+// ---------------------------------------------------------------------------
+//
+// Admission: strict FIFO over a fixed set of decode slots. A request is
+// admitted only when (a) a slot is free and (b) the page pool can cover its
+// WORST-CASE page need (prompt + max_new - 1 stored tokens) on top of every
+// running request's outstanding (reserved-but-unallocated) pages. Pages are
+// then allocated lazily as the sequence grows, so admission is the only
+// point that can fail — decode-time growth never OOMs and no preemption
+// machinery is needed.
+
+struct SchedRequest {
+  int64_t prompt_len = 0;
+  int64_t max_new = 0;
+  int64_t length = 0;     // tokens whose KV is (being) stored
+  int64_t reserved = 0;   // worst-case page need
+  int32_t slot = -1;      // -1 while waiting
+  int32_t sid = -1;       // allocator sequence id
+};
+
+struct Scheduler {
+  int64_t page_size = 0;
+  int32_t max_running = 0;
+  PageAllocator alloc;
+  std::vector<int32_t> slots;     // slot -> rid (-1 free)
+  std::vector<int32_t> waiting;   // FIFO (front = index 0)
+  std::vector<SchedRequest> reqs; // rid-indexed (rids are never reused)
+  int64_t outstanding = 0;        // sum over running of (reserved - allocated)
+};
+
+static void scheduler_destroy(PyObject* capsule) {
+  delete reinterpret_cast<Scheduler*>(
+      PyCapsule_GetPointer(capsule, "lowbit.Scheduler"));
+}
+
+static Scheduler* get_sched(PyObject* capsule) {
+  return reinterpret_cast<Scheduler*>(
+      PyCapsule_GetPointer(capsule, "lowbit.Scheduler"));
+}
+
+static int64_t pages_for(const Scheduler* s, int64_t tokens) {
+  return (tokens + s->page_size - 1) / s->page_size;
+}
+
+static PyObject* scheduler_new(PyObject*, PyObject* args) {
+  long long num_pages, page_size;
+  int max_running;
+  if (!PyArg_ParseTuple(args, "LLi", &num_pages, &page_size, &max_running))
+    return nullptr;
+  if (page_size <= 0 || max_running <= 0 || num_pages <= 0) {
+    PyErr_SetString(PyExc_ValueError, "num_pages/page_size/max_running must be > 0");
+    return nullptr;
+  }
+  auto* s = new Scheduler();
+  s->page_size = page_size;
+  s->max_running = max_running;
+  s->alloc.num_pages = num_pages;
+  s->alloc.free_list.reserve(num_pages);
+  for (int64_t i = num_pages - 1; i >= 0; --i)
+    s->alloc.free_list.push_back(static_cast<int32_t>(i));
+  s->slots.assign(max_running, -1);
+  return PyCapsule_New(s, "lowbit.Scheduler", scheduler_destroy);
+}
+
+static PyObject* scheduler_add(PyObject*, PyObject* args) {
+  PyObject* cap;
+  long long prompt_len, max_new;
+  if (!PyArg_ParseTuple(args, "OLL", &cap, &prompt_len, &max_new)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (prompt_len <= 0 || max_new <= 0) {
+    PyErr_SetString(PyExc_ValueError, "prompt_len and max_new must be > 0");
+    return nullptr;
+  }
+  int64_t need = pages_for(s, prompt_len + max_new - 1);
+  if (need > s->alloc.num_pages) {
+    PyErr_SetString(PyExc_MemoryError,
+                    "request can never fit: worst-case pages exceed the pool");
+    return nullptr;
+  }
+  int32_t rid = static_cast<int32_t>(s->reqs.size());
+  SchedRequest r;
+  r.prompt_len = prompt_len;
+  r.max_new = max_new;
+  r.reserved = need;
+  s->reqs.push_back(r);
+  s->waiting.push_back(rid);
+  return PyLong_FromLong(rid);
+}
+
+static PyObject* scheduler_step(PyObject*, PyObject* args) {
+  PyObject* cap;
+  if (!PyArg_ParseTuple(args, "O", &cap)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  PyObject* admitted = PyList_New(0);
+  // strict FIFO: stop at the first request that does not fit
+  while (!s->waiting.empty()) {
+    int32_t rid = s->waiting.front();
+    SchedRequest& r = s->reqs[rid];
+    int32_t slot = -1;
+    for (int32_t i = 0; i < s->max_running; ++i)
+      if (s->slots[i] < 0) { slot = i; break; }
+    if (slot < 0) break;
+    int64_t free_pages = static_cast<int64_t>(s->alloc.free_list.size());
+    if (free_pages - s->outstanding < r.reserved) break;
+    // admit: take the slot, allocate the prompt's pages now
+    s->waiting.erase(s->waiting.begin());
+    r.slot = slot;
+    s->slots[slot] = rid;
+    if (!s->alloc.free_seq_slots.empty()) {
+      r.sid = s->alloc.free_seq_slots.back();
+      s->alloc.free_seq_slots.pop_back();
+      s->alloc.seq_pages[r.sid].clear();
+    } else {
+      r.sid = static_cast<int32_t>(s->alloc.seq_pages.size());
+      s->alloc.seq_pages.emplace_back();
+    }
+    int64_t prompt_pages = pages_for(s, r.prompt_len);
+    for (int64_t i = 0; i < prompt_pages; ++i) {
+      s->alloc.seq_pages[r.sid].push_back(s->alloc.free_list.back());
+      s->alloc.free_list.pop_back();
+    }
+    r.length = r.prompt_len;
+    s->outstanding += r.reserved - prompt_pages;
+    PyObject* o = PyLong_FromLong(rid);
+    PyList_Append(admitted, o);
+    Py_DECREF(o);
+  }
+  PyObject* running = PyList_New(0);
+  for (int32_t i = 0; i < s->max_running; ++i) {
+    if (s->slots[i] >= 0) {
+      PyObject* o = PyLong_FromLong(s->slots[i]);
+      PyList_Append(running, o);
+      Py_DECREF(o);
+    }
+  }
+  return Py_BuildValue("{s:N,s:N,s:n}", "admitted", admitted, "running",
+                       running, "waiting",
+                       static_cast<Py_ssize_t>(s->waiting.size()));
+}
+
+// Grow a running sequence by one stored token; allocates a page on boundary
+// crossing (guaranteed to succeed by admission accounting). Returns the new
+// stored length.
+static PyObject* scheduler_append_token(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  r.length += 1;
+  int64_t have = static_cast<int64_t>(s->alloc.seq_pages[r.sid].size());
+  if (pages_for(s, r.length) > have) {
+    if (s->alloc.free_list.empty()) {
+      PyErr_SetString(PyExc_MemoryError,
+                      "page pool exhausted (reservation accounting bug)");
+      return nullptr;
+    }
+    s->alloc.seq_pages[r.sid].push_back(s->alloc.free_list.back());
+    s->alloc.free_list.pop_back();
+    s->outstanding -= 1;
+  }
+  return PyLong_FromLongLong(r.length);
+}
+
+static PyObject* scheduler_release(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  int64_t allocated = static_cast<int64_t>(s->alloc.seq_pages[r.sid].size());
+  for (int32_t p : s->alloc.seq_pages[r.sid]) s->alloc.free_list.push_back(p);
+  s->alloc.seq_pages[r.sid].clear();
+  s->alloc.free_seq_slots.push_back(r.sid);
+  s->outstanding -= r.reserved - allocated;
+  s->slots[r.slot] = -1;
+  r.slot = -1;
+  r.sid = -1;
+  Py_RETURN_NONE;
+}
+
+static PyObject* scheduler_page_table(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  const auto& pages = s->alloc.seq_pages[s->reqs[rid].sid];
+  PyObject* lst = PyList_New(pages.size());
+  for (size_t i = 0; i < pages.size(); ++i)
+    PyList_SET_ITEM(lst, i, PyLong_FromLong(pages[i]));
+  return lst;
+}
+
+static PyObject* scheduler_info(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size()) {
+    PyErr_SetString(PyExc_ValueError, "bad rid");
+    return nullptr;
+  }
+  const SchedRequest& r = s->reqs[rid];
+  return Py_BuildValue("{s:L,s:L,s:L,s:i}", "prompt_len", (long long)r.prompt_len,
+                       "max_new", (long long)r.max_new, "length",
+                       (long long)r.length, "slot", (int)r.slot);
+}
+
+static PyObject* scheduler_stats(PyObject*, PyObject* args) {
+  PyObject* cap;
+  if (!PyArg_ParseTuple(args, "O", &cap)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  int32_t used_slots = 0;
+  for (int32_t i = 0; i < s->max_running; ++i)
+    if (s->slots[i] >= 0) ++used_slots;
+  return Py_BuildValue(
+      "{s:L,s:n,s:L,s:i,s:i,s:n}", "num_pages",
+      static_cast<long long>(s->alloc.num_pages), "free_pages",
+      static_cast<Py_ssize_t>(s->alloc.free_list.size()), "outstanding",
+      static_cast<long long>(s->outstanding), "max_running",
+      static_cast<int>(s->max_running), "used_slots", static_cast<int>(used_slots),
+      "waiting", static_cast<Py_ssize_t>(s->waiting.size()));
+}
+
+// ---------------------------------------------------------------------------
 
 static PyMethodDef Methods[] = {
     {"pack_int4", pack_int4, METH_VARARGS,
@@ -283,6 +535,20 @@ static PyMethodDef Methods[] = {
     {"allocator_seq_pages", allocator_seq_pages, METH_VARARGS,
      "page table of a sequence"},
     {"allocator_stats", allocator_stats, METH_VARARGS, "allocator stats"},
+    {"scheduler_new", scheduler_new, METH_VARARGS,
+     "create continuous-batching scheduler(num_pages, page_size, max_running)"},
+    {"scheduler_add", scheduler_add, METH_VARARGS,
+     "queue request(prompt_len, max_new) -> rid"},
+    {"scheduler_step", scheduler_step, METH_VARARGS,
+     "FIFO admission pass -> {admitted, running, waiting}"},
+    {"scheduler_append_token", scheduler_append_token, METH_VARARGS,
+     "grow a running sequence by one stored token -> new length"},
+    {"scheduler_release", scheduler_release, METH_VARARGS,
+     "finish a request: free its pages and slot"},
+    {"scheduler_page_table", scheduler_page_table, METH_VARARGS,
+     "physical page ids of a running request"},
+    {"scheduler_info", scheduler_info, METH_VARARGS, "per-request info"},
+    {"scheduler_stats", scheduler_stats, METH_VARARGS, "pool/slot stats"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -116,3 +116,136 @@ class PageAllocator:
             "free_pages": len(self._free),
             "num_seqs": len(self._seqs) - len(self._free_slots),
         }
+
+
+class Scheduler:
+    """Continuous-batching request scheduler (serving control plane).
+
+    FIFO admission over ``max_running`` decode slots and a page pool of
+    ``num_pages`` pages of ``page_size`` tokens. A request is admitted only
+    when a slot is free AND the pool can cover its worst-case page need
+    (``prompt_len + max_new - 1`` stored tokens) on top of every running
+    request's outstanding reservation — pages are then allocated lazily as
+    the sequence grows, so decode-time growth (:meth:`append_token`) can
+    never fail and no preemption machinery is needed.
+
+    Native C++ implementation in csrc/lowbit_host.cpp (the scheduler role
+    sglang's runtime plays around the reference's decode kernel,
+    reference src/triton/utils/main.py:14-15); pure-Python fallback below.
+    """
+
+    def __init__(self, num_pages: int, page_size: int, max_running: int):
+        self.page_size = page_size
+        self.max_running = max_running
+        self.num_pages = num_pages
+        if _native is not None and hasattr(_native, "scheduler_new"):
+            self._h = _native.scheduler_new(num_pages, page_size, max_running)
+            return
+        self._h = None
+        if min(num_pages, page_size, max_running) <= 0:
+            raise ValueError("num_pages/page_size/max_running must be > 0")
+        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self._slots: List[int] = [-1] * max_running
+        self._waiting: List[int] = []
+        self._reqs: List[dict] = []
+        self._outstanding = 0
+
+    def _pages_for(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def add(self, prompt_len: int, max_new: int) -> int:
+        """Queue a request; returns its rid (rids are never reused)."""
+        if self._h is not None:
+            return _native.scheduler_add(self._h, prompt_len, max_new)
+        if prompt_len <= 0 or max_new <= 0:
+            raise ValueError("prompt_len and max_new must be > 0")
+        need = self._pages_for(prompt_len + max_new - 1)
+        if need > self.num_pages:
+            raise MemoryError("request can never fit: worst-case pages exceed the pool")
+        rid = len(self._reqs)
+        self._reqs.append(
+            {"prompt_len": prompt_len, "max_new": max_new, "length": 0,
+             "reserved": need, "slot": -1, "pages": None}
+        )
+        self._waiting.append(rid)
+        return rid
+
+    def step(self) -> dict:
+        """One FIFO admission pass -> {admitted: [rid], running: [rid],
+        waiting: n}. Admitted requests have their prompt pages allocated and
+        ``length == prompt_len``."""
+        if self._h is not None:
+            return _native.scheduler_step(self._h)
+        admitted = []
+        while self._waiting:
+            rid = self._waiting[0]
+            r = self._reqs[rid]
+            free_slots = [i for i, v in enumerate(self._slots) if v < 0]
+            if not free_slots:
+                break
+            if len(self._free) - self._outstanding < r["reserved"]:
+                break
+            self._waiting.pop(0)
+            r["slot"] = free_slots[0]
+            self._slots[free_slots[0]] = rid
+            prompt_pages = self._pages_for(r["prompt_len"])
+            r["pages"] = [self._free.pop() for _ in range(prompt_pages)]
+            r["length"] = r["prompt_len"]
+            self._outstanding += r["reserved"] - prompt_pages
+            admitted.append(rid)
+        return {
+            "admitted": admitted,
+            "running": [v for v in self._slots if v >= 0],
+            "waiting": len(self._waiting),
+        }
+
+    def append_token(self, rid: int) -> int:
+        """Grow a running sequence by one stored token (allocates a page on
+        boundary crossing; guaranteed by admission accounting)."""
+        if self._h is not None:
+            return _native.scheduler_append_token(self._h, rid)
+        r = self._require_running(rid)
+        r["length"] += 1
+        if self._pages_for(r["length"]) > len(r["pages"]):
+            r["pages"].append(self._free.pop())
+            self._outstanding -= 1
+        return r["length"]
+
+    def release(self, rid: int) -> None:
+        """Finish a request: free its pages and slot."""
+        if self._h is not None:
+            _native.scheduler_release(self._h, rid)
+            return
+        r = self._require_running(rid)
+        self._free.extend(r["pages"])
+        self._outstanding -= r["reserved"] - len(r["pages"])
+        self._slots[r["slot"]] = -1
+        r["slot"], r["pages"] = -1, None
+
+    def page_table(self, rid: int) -> List[int]:
+        if self._h is not None:
+            return _native.scheduler_page_table(self._h, rid)
+        return list(self._require_running(rid)["pages"])
+
+    def info(self, rid: int) -> dict:
+        if self._h is not None:
+            return _native.scheduler_info(self._h, rid)
+        r = self._reqs[rid]
+        return {k: r[k] for k in ("prompt_len", "max_new", "length", "slot")}
+
+    def stats(self) -> dict:
+        if self._h is not None:
+            return _native.scheduler_stats(self._h)
+        return {
+            "num_pages": self.num_pages,
+            "free_pages": len(self._free),
+            "outstanding": self._outstanding,
+            "max_running": self.max_running,
+            "used_slots": sum(1 for v in self._slots if v >= 0),
+            "waiting": len(self._waiting),
+        }
+
+    def _require_running(self, rid: int) -> dict:
+        if rid < 0 or rid >= len(self._reqs) or self._reqs[rid]["slot"] < 0:
+            raise ValueError("rid is not running")
+        return self._reqs[rid]
