@@ -325,6 +325,11 @@ class ServingEngine:
             raise RuntimeError("serving loop did not drain")
         return dict(self._finished)
 
+    @property
+    def finished(self) -> Dict[int, List[int]]:
+        """Completed requests -> generated tokens (grows as steps run)."""
+        return dict(self._finished)
+
     def stats(self) -> dict:
         s = self.sched.stats()
         s["active_slots"] = int(self._active.sum())
