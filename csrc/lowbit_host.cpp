@@ -286,19 +286,21 @@ struct SchedRequest {
   int64_t prompt_len = 0;
   int64_t max_new = 0;
   int64_t length = 0;     // tokens whose KV is (being) stored
-  int64_t reserved = 0;   // worst-case page need
+  int64_t reserved = 0;   // worst-case PRIVATE page need (excludes shared)
   int32_t slot = -1;      // -1 while waiting
   int32_t sid = -1;       // allocator sequence id
+  std::vector<int32_t> shared;  // prefix-cache pages (pinned by the caller)
 };
 
 struct Scheduler {
   int64_t page_size = 0;
   int32_t max_running = 0;
   PageAllocator alloc;
+  std::vector<int32_t> ref;       // per-page refcount (0 == in free list)
   std::vector<int32_t> slots;     // slot -> rid (-1 free)
   std::vector<int32_t> waiting;   // FIFO (front = index 0)
   std::vector<SchedRequest> reqs; // rid-indexed (rids are never reused)
-  int64_t outstanding = 0;        // sum over running of (reserved - allocated)
+  int64_t outstanding = 0;        // sum over running of (reserved - allocated private)
 };
 
 static void scheduler_destroy(PyObject* capsule) {
@@ -332,33 +334,145 @@ static PyObject* scheduler_new(PyObject*, PyObject* args) {
   for (int64_t i = num_pages - 1; i >= 0; --i)
     s->alloc.free_list.push_back(static_cast<int32_t>(i));
   s->slots.assign(max_running, -1);
+  s->ref.assign(num_pages, 0);
   return PyCapsule_New(s, "lowbit.Scheduler", scheduler_destroy);
 }
 
+// scheduler_add(h, prompt_len, max_new[, shared_pages]) — shared_pages is a
+// sequence of prefix-cache page ids (each already pinned by the caller, i.e.
+// ref > 0) covering whole leading prompt pages.
 static PyObject* scheduler_add(PyObject*, PyObject* args) {
   PyObject* cap;
   long long prompt_len, max_new;
-  if (!PyArg_ParseTuple(args, "OLL", &cap, &prompt_len, &max_new)) return nullptr;
+  PyObject* shared_obj = nullptr;
+  if (!PyArg_ParseTuple(args, "OLL|O", &cap, &prompt_len, &max_new, &shared_obj))
+    return nullptr;
   auto* s = get_sched(cap);
   if (!s) return nullptr;
   if (prompt_len <= 0 || max_new <= 0) {
     PyErr_SetString(PyExc_ValueError, "prompt_len and max_new must be > 0");
     return nullptr;
   }
-  int64_t need = pages_for(s, prompt_len + max_new - 1);
+  std::vector<int32_t> shared;
+  if (shared_obj && shared_obj != Py_None) {
+    PyObject* seq = PySequence_Fast(shared_obj, "shared_pages must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      long pid = PyLong_AsLong(PySequence_Fast_GET_ITEM(seq, i));
+      if (pid < 0 || pid >= s->alloc.num_pages || s->ref[pid] <= 0) {
+        Py_DECREF(seq);
+        PyErr_SetString(PyExc_ValueError,
+                        "shared page id out of range or not pinned");
+        return nullptr;
+      }
+      shared.push_back(static_cast<int32_t>(pid));
+    }
+    Py_DECREF(seq);
+  }
+  int64_t n_shared = static_cast<int64_t>(shared.size());
+  if (n_shared * s->page_size >= prompt_len) {
+    PyErr_SetString(PyExc_ValueError,
+                    "shared pages must cover strictly less than the prompt");
+    return nullptr;
+  }
+  int64_t need = pages_for(s, prompt_len + max_new - 1) - n_shared;
   if (need > s->alloc.num_pages) {
     PyErr_SetString(PyExc_MemoryError,
                     "request can never fit: worst-case pages exceed the pool");
     return nullptr;
   }
   int32_t rid = static_cast<int32_t>(s->reqs.size());
+  // pin the shared pages for this request's lifetime (released once each by
+  // scheduler_release), so cache eviction between add and admission is safe
+  for (int32_t p : shared) s->ref[p] += 1;
   SchedRequest r;
   r.prompt_len = prompt_len;
   r.max_new = max_new;
   r.reserved = need;
-  s->reqs.push_back(r);
+  r.shared = std::move(shared);
+  s->reqs.push_back(std::move(r));
   s->waiting.push_back(rid);
   return PyLong_FromLong(rid);
+}
+
+// Re-resolve a WAITING request's shared prefix pages (the engine calls this
+// right before each admission pass, so requests queued behind the prompt
+// that will seed the cache still share it).
+static PyObject* scheduler_update_shared(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  PyObject* shared_obj;
+  if (!PyArg_ParseTuple(args, "OiO", &cap, &rid, &shared_obj)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot >= 0 ||
+      std::find(s->waiting.begin(), s->waiting.end(), rid) == s->waiting.end()) {
+    PyErr_SetString(PyExc_ValueError, "rid is not waiting");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  std::vector<int32_t> shared;
+  if (shared_obj != Py_None) {
+    PyObject* seq = PySequence_Fast(shared_obj, "shared_pages must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      long pid = PyLong_AsLong(PySequence_Fast_GET_ITEM(seq, i));
+      if (pid < 0 || pid >= s->alloc.num_pages || s->ref[pid] <= 0) {
+        Py_DECREF(seq);
+        PyErr_SetString(PyExc_ValueError,
+                        "shared page id out of range or not pinned");
+        return nullptr;
+      }
+      shared.push_back(static_cast<int32_t>(pid));
+    }
+    Py_DECREF(seq);
+  }
+  if (static_cast<int64_t>(shared.size()) * s->page_size >= r.prompt_len) {
+    PyErr_SetString(PyExc_ValueError,
+                    "shared pages must cover strictly less than the prompt");
+    return nullptr;
+  }
+  for (int32_t p : shared) s->ref[p] += 1;  // pin new before unpinning old
+  for (int32_t p : r.shared) {
+    if (--s->ref[p] == 0) s->alloc.free_list.push_back(p);
+  }
+  r.shared = std::move(shared);
+  r.reserved = pages_for(s, r.prompt_len + r.max_new - 1) -
+               static_cast<int64_t>(r.shared.size());
+  Py_RETURN_NONE;
+}
+
+// Generic page pin/unpin (the prefix cache's ownership handle). unref of a
+// page whose count hits 0 returns it to the free list.
+static PyObject* scheduler_ref_page(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int pid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &pid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (pid < 0 || pid >= s->alloc.num_pages || s->ref[pid] <= 0) {
+    PyErr_SetString(PyExc_ValueError, "page is not allocated");
+    return nullptr;
+  }
+  s->ref[pid] += 1;
+  return PyLong_FromLong(s->ref[pid]);
+}
+
+static PyObject* scheduler_unref_page(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int pid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &pid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (pid < 0 || pid >= s->alloc.num_pages || s->ref[pid] <= 0) {
+    PyErr_SetString(PyExc_ValueError, "page is not allocated");
+    return nullptr;
+  }
+  if (--s->ref[pid] == 0) s->alloc.free_list.push_back(pid);
+  return PyLong_FromLong(s->ref[pid]);
 }
 
 static PyObject* scheduler_step(PyObject*, PyObject* args) {
@@ -389,13 +503,18 @@ static PyObject* scheduler_step(PyObject*, PyObject* args) {
       r.sid = static_cast<int32_t>(s->alloc.seq_pages.size());
       s->alloc.seq_pages.emplace_back();
     }
-    int64_t prompt_pages = pages_for(s, r.prompt_len);
-    for (int64_t i = 0; i < prompt_pages; ++i) {
-      s->alloc.seq_pages[r.sid].push_back(s->alloc.free_list.back());
+    // sequence = shared prefix pages (caller-pinned) + private prompt pages
+    for (int32_t p : r.shared) s->alloc.seq_pages[r.sid].push_back(p);
+    int64_t private_prompt =
+        pages_for(s, r.prompt_len) - static_cast<int64_t>(r.shared.size());
+    for (int64_t i = 0; i < private_prompt; ++i) {
+      int32_t p = s->alloc.free_list.back();
       s->alloc.free_list.pop_back();
+      s->ref[p] = 1;
+      s->alloc.seq_pages[r.sid].push_back(p);
     }
     r.length = r.prompt_len;
-    s->outstanding += r.reserved - prompt_pages;
+    s->outstanding += r.reserved - private_prompt;
     PyObject* o = PyLong_FromLong(rid);
     PyList_Append(admitted, o);
     Py_DECREF(o);
@@ -436,8 +555,10 @@ static PyObject* scheduler_append_token(PyObject*, PyObject* args) {
                       "page pool exhausted (reservation accounting bug)");
       return nullptr;
     }
-    s->alloc.seq_pages[r.sid].push_back(s->alloc.free_list.back());
+    int32_t p = s->alloc.free_list.back();
     s->alloc.free_list.pop_back();
+    s->ref[p] = 1;
+    s->alloc.seq_pages[r.sid].push_back(p);
     s->outstanding -= 1;
   }
   return PyLong_FromLongLong(r.length);
@@ -455,11 +576,15 @@ static PyObject* scheduler_release(PyObject*, PyObject* args) {
     return nullptr;
   }
   SchedRequest& r = s->reqs[rid];
-  int64_t allocated = static_cast<int64_t>(s->alloc.seq_pages[r.sid].size());
-  for (int32_t p : s->alloc.seq_pages[r.sid]) s->alloc.free_list.push_back(p);
+  int64_t allocated_private =
+      static_cast<int64_t>(s->alloc.seq_pages[r.sid].size()) -
+      static_cast<int64_t>(r.shared.size());
+  for (int32_t p : s->alloc.seq_pages[r.sid]) {
+    if (--s->ref[p] == 0) s->alloc.free_list.push_back(p);
+  }
   s->alloc.seq_pages[r.sid].clear();
   s->alloc.free_seq_slots.push_back(r.sid);
-  s->outstanding -= r.reserved - allocated;
+  s->outstanding -= r.reserved - allocated_private;
   s->slots[r.slot] = -1;
   r.slot = -1;
   r.sid = -1;
@@ -495,9 +620,10 @@ static PyObject* scheduler_info(PyObject*, PyObject* args) {
     return nullptr;
   }
   const SchedRequest& r = s->reqs[rid];
-  return Py_BuildValue("{s:L,s:L,s:L,s:i}", "prompt_len", (long long)r.prompt_len,
-                       "max_new", (long long)r.max_new, "length",
-                       (long long)r.length, "slot", (int)r.slot);
+  return Py_BuildValue("{s:L,s:L,s:L,s:i,s:n}", "prompt_len",
+                       (long long)r.prompt_len, "max_new", (long long)r.max_new,
+                       "length", (long long)r.length, "slot", (int)r.slot,
+                       "shared", static_cast<Py_ssize_t>(r.shared.size()));
 }
 
 static PyObject* scheduler_stats(PyObject*, PyObject* args) {
@@ -548,6 +674,12 @@ static PyMethodDef Methods[] = {
     {"scheduler_page_table", scheduler_page_table, METH_VARARGS,
      "physical page ids of a running request"},
     {"scheduler_info", scheduler_info, METH_VARARGS, "per-request info"},
+    {"scheduler_update_shared", scheduler_update_shared, METH_VARARGS,
+     "re-resolve a waiting request's shared prefix pages"},
+    {"scheduler_ref_page", scheduler_ref_page, METH_VARARGS,
+     "pin an allocated page (+1 ref) -> new refcount"},
+    {"scheduler_unref_page", scheduler_unref_page, METH_VARARGS,
+     "unpin a page (-1 ref; freed at 0) -> new refcount"},
     {"scheduler_stats", scheduler_stats, METH_VARARGS, "pool/slot stats"},
     {nullptr, nullptr, 0, nullptr}};
 

@@ -7,7 +7,7 @@ numpy otherwise. ``HAVE_NATIVE`` reports which path is active.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -145,6 +145,7 @@ class Scheduler:
         if min(num_pages, page_size, max_running) <= 0:
             raise ValueError("num_pages/page_size/max_running must be > 0")
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self._ref: List[int] = [0] * num_pages
         self._slots: List[int] = [-1] * max_running
         self._waiting: List[int] = []
         self._reqs: List[dict] = []
@@ -153,22 +154,83 @@ class Scheduler:
     def _pages_for(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
 
-    def add(self, prompt_len: int, max_new: int) -> int:
-        """Queue a request; returns its rid (rids are never reused)."""
+    def _alloc_page(self) -> int:
+        p = self._free.pop()
+        self._ref[p] = 1
+        return p
+
+    def add(self, prompt_len: int, max_new: int, shared_pages: Sequence[int] = ()) -> int:
+        """Queue a request; returns its rid (rids are never reused).
+        ``shared_pages``: prefix-cache page ids (each currently allocated)
+        covering whole leading prompt pages; pinned for the request's
+        lifetime at add time."""
         if self._h is not None:
-            return _native.scheduler_add(self._h, prompt_len, max_new)
+            return _native.scheduler_add(self._h, prompt_len, max_new, list(shared_pages))
         if prompt_len <= 0 or max_new <= 0:
             raise ValueError("prompt_len and max_new must be > 0")
-        need = self._pages_for(prompt_len + max_new - 1)
+        shared = list(shared_pages)
+        for p in shared:
+            if p < 0 or p >= self.num_pages or self._ref[p] <= 0:
+                raise ValueError("shared page id out of range or not pinned")
+        if len(shared) * self.page_size >= prompt_len:
+            raise ValueError("shared pages must cover strictly less than the prompt")
+        need = self._pages_for(prompt_len + max_new - 1) - len(shared)
         if need > self.num_pages:
             raise MemoryError("request can never fit: worst-case pages exceed the pool")
+        for p in shared:
+            self._ref[p] += 1
         rid = len(self._reqs)
         self._reqs.append(
             {"prompt_len": prompt_len, "max_new": max_new, "length": 0,
-             "reserved": need, "slot": -1, "pages": None}
+             "reserved": need, "slot": -1, "pages": None, "shared": shared}
         )
         self._waiting.append(rid)
         return rid
+
+    def update_shared(self, rid: int, shared_pages: Sequence[int]) -> None:
+        """Re-resolve a WAITING request's shared prefix pages (pins the new
+        set, unpins the old, recomputes the private reservation)."""
+        if self._h is not None:
+            _native.scheduler_update_shared(self._h, rid, list(shared_pages))
+            return
+        if rid < 0 or rid >= len(self._reqs) or self._reqs[rid]["slot"] >= 0 \
+                or rid not in self._waiting:
+            raise ValueError("rid is not waiting")
+        r = self._reqs[rid]
+        shared = list(shared_pages)
+        for p in shared:
+            if p < 0 or p >= self.num_pages or self._ref[p] <= 0:
+                raise ValueError("shared page id out of range or not pinned")
+        if len(shared) * self.page_size >= r["prompt_len"]:
+            raise ValueError("shared pages must cover strictly less than the prompt")
+        for p in shared:
+            self._ref[p] += 1
+        for p in r["shared"]:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+        r["shared"] = shared
+        r["reserved"] = self._pages_for(r["prompt_len"] + r["max_new"] - 1) - len(shared)
+
+    def ref_page(self, pid: int) -> int:
+        """Pin an allocated page (+1 ref); returns the new refcount."""
+        if self._h is not None:
+            return _native.scheduler_ref_page(self._h, pid)
+        if pid < 0 or pid >= self.num_pages or self._ref[pid] <= 0:
+            raise ValueError("page is not allocated")
+        self._ref[pid] += 1
+        return self._ref[pid]
+
+    def unref_page(self, pid: int) -> int:
+        """Unpin a page (-1 ref; returned to the free list at 0)."""
+        if self._h is not None:
+            return _native.scheduler_unref_page(self._h, pid)
+        if pid < 0 or pid >= self.num_pages or self._ref[pid] <= 0:
+            raise ValueError("page is not allocated")
+        self._ref[pid] -= 1
+        if self._ref[pid] == 0:
+            self._free.append(pid)
+        return self._ref[pid]
 
     def step(self) -> dict:
         """One FIFO admission pass -> {admitted: [rid], running: [rid],
@@ -188,10 +250,12 @@ class Scheduler:
             self._waiting.pop(0)
             r["slot"] = free_slots[0]
             self._slots[free_slots[0]] = rid
-            prompt_pages = self._pages_for(r["prompt_len"])
-            r["pages"] = [self._free.pop() for _ in range(prompt_pages)]
+            private_prompt = self._pages_for(r["prompt_len"]) - len(r["shared"])
+            r["pages"] = list(r["shared"]) + [
+                self._alloc_page() for _ in range(private_prompt)
+            ]
             r["length"] = r["prompt_len"]
-            self._outstanding += r["reserved"] - prompt_pages
+            self._outstanding += r["reserved"] - private_prompt
             admitted.append(rid)
         return {
             "admitted": admitted,
@@ -207,7 +271,7 @@ class Scheduler:
         r = self._require_running(rid)
         r["length"] += 1
         if self._pages_for(r["length"]) > len(r["pages"]):
-            r["pages"].append(self._free.pop())
+            r["pages"].append(self._alloc_page())
             self._outstanding -= 1
         return r["length"]
 
@@ -217,8 +281,12 @@ class Scheduler:
             _native.scheduler_release(self._h, rid)
             return
         r = self._require_running(rid)
-        self._free.extend(r["pages"])
-        self._outstanding -= r["reserved"] - len(r["pages"])
+        allocated_private = len(r["pages"]) - len(r["shared"])
+        for p in r["pages"]:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+        self._outstanding -= r["reserved"] - allocated_private
         self._slots[r["slot"]] = -1
         r["slot"], r["pages"] = -1, None
 
@@ -231,7 +299,9 @@ class Scheduler:
         if self._h is not None:
             return _native.scheduler_info(self._h, rid)
         r = self._reqs[rid]
-        return {k: r[k] for k in ("prompt_len", "max_new", "length", "slot")}
+        out = {k: r[k] for k in ("prompt_len", "max_new", "length", "slot")}
+        out["shared"] = len(r["shared"])
+        return out
 
     def stats(self) -> dict:
         if self._h is not None:

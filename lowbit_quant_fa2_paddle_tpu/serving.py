@@ -28,6 +28,7 @@ the same kernels.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -39,6 +40,7 @@ import numpy as np
 from lowbit_quant_fa2_paddle_tpu import host
 from lowbit_quant_fa2_paddle_tpu.models import llm as L
 from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention
 
 Params = Dict[str, Any]
 
@@ -54,6 +56,10 @@ class ServingConfig:
     # Static page-table width (max pages any one sequence may hold);
     # defaults to the whole pool.
     max_pages_per_seq: Optional[int] = None
+    # Automatic prefix caching: requests whose leading full prompt pages
+    # hash-match a previous prompt share those pages copy-free AND skip
+    # their prefill compute (chunked prefill + LSE merge).
+    prefix_caching: bool = True
 
     @property
     def table_width(self) -> int:
@@ -74,6 +80,150 @@ def _empty_paged_caches(cfg: L.LLMConfig, scfg: ServingConfig) -> List[dict]:
         }
         for _ in range(cfg.depth)
     ]
+
+
+class PrefixCache:
+    """Hash-chained prefix-page cache (vLLM-style automatic prefix caching).
+
+    Each FULL prompt page is keyed by ``hash(prefix_hash, page_tokens)``;
+    cached pages are pinned in the scheduler's refcounted pool
+    (``ref_page``/``unref_page``) and shared copy-free across requests —
+    shared pages are read-only by construction (decode positions start past
+    the prompt, and the last usable prefix page is always private). Eviction
+    is LRU and only drops the cache's own pin: pages still referenced by
+    running requests survive until they finish.
+    """
+
+    def __init__(self, sched: host.Scheduler, page_size: int):
+        self._sched = sched
+        self._page = page_size
+        self._entries: "collections.OrderedDict[int, int]" = collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _chain(self, prompt: np.ndarray):
+        h = 0
+        for j in range(len(prompt) // self._page):
+            h = hash((h, tuple(int(t) for t in prompt[j * self._page : (j + 1) * self._page])))
+            yield j, h
+
+    def lookup(self, prompt: np.ndarray, max_pages: int) -> List[int]:
+        """Longest cached page-run covering the prompt's leading full pages
+        (capped so at least one prompt token stays uncached). Hit/miss
+        accounting happens once per request, at prefill time."""
+        pids: List[int] = []
+        for j, h in self._chain(prompt):
+            if j >= max_pages:
+                break
+            pid = self._entries.get(h)
+            if pid is None:
+                break
+            self._entries.move_to_end(h)
+            pids.append(pid)
+        return pids
+
+    def register(self, prompt: np.ndarray, pages: Sequence[int]) -> None:
+        """Pin + index every full prompt page of a just-prefilled request."""
+        for j, h in self._chain(prompt):
+            if h in self._entries:
+                self._entries.move_to_end(h)
+                continue
+            self._sched.ref_page(pages[j])
+            self._entries[h] = pages[j]
+
+    def evict_one(self) -> bool:
+        """Drop the LRU entry's pin; returns False when the cache is empty."""
+        if not self._entries:
+            return False
+        _, pid = self._entries.popitem(last=False)
+        self._sched.unref_page(pid)
+        return True
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+def _merge_lse(o1: jax.Array, l1: jax.Array, o2: jax.Array, l2: jax.Array):
+    """Merge two partial attentions via their base-2 LSEs (the same contract
+    ring attention uses across chips, parallel/ring.py)."""
+    m = jnp.maximum(l1, l2)
+    w1 = jnp.exp2(l1 - m)
+    w2 = jnp.exp2(l2 - m)
+    den = w1 + w2
+    o = o1.astype(jnp.float32) * (w1 / den)[..., None] + o2.astype(jnp.float32) * (
+        w2 / den
+    )[..., None]
+    return o.astype(o1.dtype)
+
+
+def _chunked_prefill_forward(
+    params: Params,
+    suffix: jax.Array,  # [1, S_suf] — prompt tokens past the cached prefix
+    prefix_kv: List[tuple],  # per layer: (k_codes [Hk,Sp,dk], ks [Hk,Sp], v_codes, vs)
+    s_pre: int,
+    cfg: L.LLMConfig,
+    kv_bits: int,
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, List[tuple]]:
+    """Prefill that REUSES cached quantized prefix KV: the suffix's causal
+    self-attention and its cross-attention over the prefix pages are computed
+    separately and merged through their base-2 LSEs — so a shared prompt
+    prefix costs zero recompute (reference has no analog; its prefill always
+    starts from scratch)."""
+    b, s = suffix.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][suffix]
+    pos = jnp.broadcast_to(s_pre + jnp.arange(s), (b, s))
+    per_layer = []
+    for blk, (kc_pre, ks_pre, vc_pre, vs_pre) in zip(params["blocks"], prefix_kv):
+        xa = L._rms_norm(x, blk["ln1"])
+        q = L._mm(xa, blk["wq"], interpret).reshape(b, s, h, hd).swapaxes(1, 2)
+        k = L._mm(xa, blk["wk"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
+        v = L._mm(xa, blk["wv"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
+        q = L._rope(q, pos, cfg.rope_theta)
+        k = L._rope(k, pos, cfg.rope_theta)
+
+        # V prefix: exact per-token dequant (the kernel's int8-V fast path
+        # wants per-channel scales; per-token V scales fold here instead).
+        if kv_bits == 4:
+            d_half = hd // 2
+            vc32 = vc_pre.astype(jnp.int32)
+            lo = ((vc32 << 28) >> 28).astype(jnp.float32)
+            hi = (vc32 >> 4).astype(jnp.float32)
+            v_deq = jnp.concatenate([lo, hi], axis=-1)
+            kc32 = kc_pre.astype(jnp.int32)
+            klo = ((kc32 << 28) >> 28).astype(jnp.float32)
+            khi = (kc32 >> 4).astype(jnp.float32)
+            k_deq = jnp.concatenate([klo, khi], axis=-1)
+            v_pre = (v_deq * vs_pre[..., None]).astype(jnp.bfloat16)
+            k_pre = (k_deq * ks_pre[..., None]).astype(jnp.bfloat16)
+            o1, l1 = lowbit_attention(
+                q, k_pre[None], v_pre[None], fused_quant=True,
+                is_causal=False, return_lse=True, interpret=interpret,
+            )
+        else:
+            v_pre = (vc_pre.astype(jnp.float32) * vs_pre[..., None]).astype(jnp.bfloat16)
+            o1, l1 = lowbit_attention(
+                q, kc_pre[None], v_pre[None], k_scale=ks_pre[None],
+                fused_quant_q=True, is_causal=False, return_lse=True,
+                interpret=interpret,
+            )
+        o2, l2 = lowbit_attention(
+            q, k, v.astype(jnp.bfloat16), fused_quant=True,
+            is_causal=True, return_lse=True, interpret=interpret,
+        )
+        o = _merge_lse(o1, l1, o2, l2)
+        x = x + L._mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
+        xm = L._rms_norm(x, blk["ln2"])
+        x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
+
+        qtok = functools.partial(dec.quantize_token, bits=kv_bits)
+        kq, ks = jax.vmap(qtok, in_axes=2, out_axes=2)(k)
+        vq, vs = jax.vmap(qtok, in_axes=2, out_axes=2)(v)
+        per_layer.append((kq[0], ks[0], vq[0], vs[0]))
+
+    logits = L._rms_norm(x[:, -1], params["ln_f"]) @ params["embed"].T
+    return logits[0], per_layer
 
 
 def _prefill_forward(
@@ -199,6 +349,10 @@ class ServingEngine:
         self.scfg = scfg
         self.interpret = interpret
         self.sched = host.Scheduler(scfg.num_pages, scfg.page_size, scfg.max_batch)
+        self.prefix_cache = (
+            PrefixCache(self.sched, scfg.page_size) if scfg.prefix_caching else None
+        )
+        self._shared: Dict[int, int] = {}  # rid -> shared page count
         self.caches = _empty_paged_caches(cfg, scfg)
         b, w = scfg.max_batch, scfg.table_width
         self._table = np.zeros((b, w), np.int32)
@@ -207,6 +361,7 @@ class ServingEngine:
         self._slot_rid = np.full((b,), -1, np.int32)
         self._next_tok = np.zeros((b,), np.int32)
         self._prompts: Dict[int, np.ndarray] = {}
+        self._waiting_rids: List[int] = []
         self._max_new: Dict[int, int] = {}
         self.outputs: Dict[int, List[int]] = {}
         self._finished: Dict[int, List[int]] = {}
@@ -229,7 +384,16 @@ class ServingEngine:
         need_w = -(-(prompt.size + max_new_tokens - 1) // self.scfg.page_size)
         if need_w > self.scfg.table_width:
             raise MemoryError("request exceeds the static page-table width")
-        rid = self.sched.add(int(prompt.size), int(max_new_tokens))
+        shared: List[int] = []
+        if self.prefix_cache is not None:
+            # cap: at least one prompt token must stay uncached (it provides
+            # the first-token logits, and keeps shared pages read-only)
+            shared = self.prefix_cache.lookup(
+                prompt, (prompt.size - 1) // self.scfg.page_size
+            )
+        rid = self.sched.add(int(prompt.size), int(max_new_tokens), shared)
+        self._shared[rid] = len(shared)
+        self._waiting_rids.append(rid)
         self._prompts[rid] = prompt
         self._max_new[rid] = int(max_new_tokens)
         self.outputs[rid] = []
@@ -239,17 +403,45 @@ class ServingEngine:
 
     def _prefill(self, rid: int) -> None:
         prompt = self._prompts.pop(rid)
-        logits, per_layer = _prefill_forward(
-            self.params, jnp.asarray(prompt)[None], self.cfg, self.scfg.kv_bits, self.interpret
-        )
+        self._waiting_rids.remove(rid)
         pages = self.sched.page_table(rid)
         p = self.scfg.page_size
+        n_shared = self._shared.pop(rid, 0)
+        if self.prefix_cache is not None:
+            self.prefix_cache.hits += n_shared
+            self.prefix_cache.misses += max(
+                0, min(len(prompt) // p, (len(prompt) - 1) // p) - n_shared
+            )
+        if n_shared:
+            s_pre = n_shared * p
+            prefix_kv = []
+            pids = jnp.asarray(pages[:n_shared], jnp.int32)
+            for c in self.caches:
+                hk = c["k"].shape[0]
+                prefix_kv.append((
+                    c["k"][:, pids].reshape(hk, s_pre, -1),
+                    c["k_scale"][:, pids].reshape(hk, s_pre),
+                    c["v"][:, pids].reshape(hk, s_pre, -1),
+                    c["v_scale"][:, pids].reshape(hk, s_pre),
+                ))
+            logits, per_layer = _chunked_prefill_forward(
+                self.params, jnp.asarray(prompt[s_pre:])[None], prefix_kv,
+                s_pre, self.cfg, self.scfg.kv_bits, self.interpret,
+            )
+        else:
+            s_pre = 0
+            logits, per_layer = _prefill_forward(
+                self.params, jnp.asarray(prompt)[None], self.cfg,
+                self.scfg.kv_bits, self.interpret,
+            )
         for li, (kq, ks, vq, vs) in enumerate(per_layer):
+            # per_layer rows start at position s_pre; write the private pages
             c = self.caches[li]
-            for j, pg in enumerate(pages):
-                lo, hi = j * p, min((j + 1) * p, prompt.size)
+            for j in range(n_shared, len(pages)):
+                lo, hi = j * p - s_pre, min((j + 1) * p, prompt.size) - s_pre
                 if lo >= hi:
                     break
+                pg = pages[j]
                 n = hi - lo
                 c = {
                     "k": c["k"].at[:, pg, :n].set(kq[:, lo:hi]),
@@ -258,6 +450,8 @@ class ServingEngine:
                     "v_scale": c["v_scale"].at[:, pg, :n].set(vs[:, lo:hi]),
                 }
             self.caches[li] = c
+        if self.prefix_cache is not None:
+            self.prefix_cache.register(prompt, pages)
         slot = self.sched.info(rid)["slot"]
         tok = int(np.asarray(jnp.argmax(logits)))
         self.outputs[rid].append(tok)
@@ -284,8 +478,31 @@ class ServingEngine:
         """One engine tick: admit+prefill, then one batched decode step.
         Returns requests that finished during this tick."""
         done_before = set(self._finished)
+        if self.prefix_cache is not None:
+            # Re-resolve sharing for waiting requests: prompts prefilled
+            # since they were queued may now cover their prefixes.
+            for rid in self._waiting_rids:
+                pids = self.prefix_cache.lookup(
+                    self._prompts[rid],
+                    (self._prompts[rid].size - 1) // self.scfg.page_size,
+                )
+                if len(pids) != self._shared[rid]:
+                    self.sched.update_shared(rid, pids)
+                    self._shared[rid] = len(pids)
         st = self.sched.step()
-        for rid in st["admitted"]:
+        admitted = list(st["admitted"])
+        # Under page pressure, evict LRU prefix-cache pins until the FIFO
+        # head admits (or the cache is drained / we're blocked on slots).
+        while st["waiting"] and self.prefix_cache is not None:
+            if self.sched.stats()["used_slots"] >= self.scfg.max_batch:
+                break
+            if not self.prefix_cache.evict_one():
+                break
+            st = self.sched.step()
+            admitted += st["admitted"]
+            if st["admitted"]:
+                continue
+        for rid in admitted:
             self._prefill(rid)
 
         slots = np.nonzero(self._active)[0]
@@ -334,4 +551,8 @@ class ServingEngine:
         s = self.sched.stats()
         s["active_slots"] = int(self._active.sum())
         s["finished"] = len(self._finished)
+        if self.prefix_cache is not None:
+            s["cached_pages"] = len(self.prefix_cache)
+            s["prefix_hits"] = self.prefix_cache.hits
+            s["prefix_misses"] = self.prefix_cache.misses
         return s

@@ -125,7 +125,9 @@ class TestServingEngine:
         for rid, ref in zip(rids, solo):
             assert done[rid] == ref, (rid, done[rid], ref)
         st = eng.stats()
-        assert st["free_pages"] == st["num_pages"] and st["used_slots"] == 0
+        # every page is either free or held by the prefix cache
+        assert st["free_pages"] + st["cached_pages"] == st["num_pages"]
+        assert st["used_slots"] == 0
 
     def test_late_arrival(self, llm_setup):
         """A request added mid-flight produces the same tokens."""
@@ -161,6 +163,98 @@ class TestServingEngine:
         done = eng.run()
         for rid, ref in zip(rids, solo):
             assert done[rid] == ref
+
+    def test_prefix_cache_sharing(self, llm_setup):
+        """Second request with the same long prompt shares pages, skips the
+        shared prefill compute, and still generates sensible tokens."""
+        cfg, params = llm_setup
+        prompt = list(range(1, 21))  # 20 tokens = 2 full pages + 4 (page 8)
+        eng = ServingEngine(
+            params, cfg, ServingConfig(page_size=8, num_pages=32, max_batch=2)
+        )
+        r0 = eng.add_request(prompt, 4)
+        eng.step()  # admits + prefills r0, registers its full pages
+        assert eng.stats()["cached_pages"] == 2
+        r1 = eng.add_request(prompt, 4)
+        assert eng.sched.info(r1)["shared"] == 2
+        done = eng.run()
+        # identical prompts must generate identical tokens, shared or not
+        assert done[r0] == done[r1], (done[r0], done[r1])
+        assert eng.prefix_cache.hits >= 2  # r1 hit both full pages
+        st = eng.stats()
+        assert st["free_pages"] + st["cached_pages"] <= st["num_pages"]
+
+    def test_prefix_cache_page_savings(self, llm_setup):
+        """Three requests sharing a page-aligned system prompt allocate far
+        fewer pages than three independent ones."""
+        cfg, params = llm_setup
+        sys_prompt = list(range(2, 18))  # 16 tokens = 2 full pages
+        eng = ServingEngine(
+            params, cfg, ServingConfig(page_size=8, num_pages=32, max_batch=1)
+        )
+        peak_used = 0
+        rids = []
+        for i in range(3):
+            rids.append(eng.add_request(sys_prompt + [30 + i], 3))
+        while len(eng.finished) < 3:
+            eng.step()
+            st = eng.stats()
+            peak_used = max(peak_used, st["num_pages"] - st["free_pages"])
+        # without sharing each request holds 3-4 pages while running plus the
+        # 2-page cached prefix of earlier prompts; with sharing the prefix
+        # pages are counted once
+        assert eng.prefix_cache.hits >= 4  # requests 2 and 3 hit 2 pages each
+        assert peak_used <= 6, peak_used
+        # outputs identical across the three (same prompt + suffix token id
+        # differs, so only assert they completed)
+        assert all(len(eng.finished[r]) == 3 for r in rids)
+
+    def test_chunked_prefill_accuracy(self, llm_setup):
+        """Chunked prefill (cross over cached prefix + causal self, LSE
+        merge) matches full prefill logits closely."""
+        import numpy as np
+        from lowbit_quant_fa2_paddle_tpu.serving import (
+            _chunked_prefill_forward,
+            _prefill_forward,
+        )
+        cfg, params = llm_setup
+        prompt = np.arange(1, 25, dtype=np.int32)  # 24 tokens
+        s_pre = 16
+        full_logits, full_kv = _prefill_forward(
+            params, jnp.asarray(prompt)[None], cfg, 8, None
+        )
+        # build the prefix KV exactly as the cache stores it (per-token quant)
+        prefix_kv = [
+            (kq[:, :s_pre], ks[:, :s_pre], vq[:, :s_pre], vs[:, :s_pre])
+            for (kq, ks, vq, vs) in full_kv
+        ]
+        ch_logits, ch_kv = _chunked_prefill_forward(
+            params, jnp.asarray(prompt[s_pre:])[None], prefix_kv, s_pre, cfg, 8, None
+        )
+        a = np.asarray(full_logits, np.float32)
+        b = np.asarray(ch_logits, np.float32)
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.999, cos
+        # suffix KV rows match the full prefill's rows for those positions
+        for (fk, fks, fv, fvs), (ck, cks, cv, cvs) in zip(full_kv, ch_kv):
+            fk_, fks_ = np.asarray(fk[:, s_pre:]), np.asarray(fks[:, s_pre:])
+            err = np.abs(fk_.astype(np.int32) - np.asarray(ck, np.int32)).max()
+            assert err <= 2, err  # residual-stream drift moves a few codes by 1-2
+
+    def test_eviction_under_pressure(self, llm_setup):
+        """A full cache gives way: new requests evict LRU pins and complete."""
+        cfg, params = llm_setup
+        eng = ServingEngine(
+            params, cfg, ServingConfig(page_size=8, num_pages=8, max_batch=1)
+        )
+        r0 = eng.add_request(list(range(1, 18)), 3)  # 17 tokens: 2 full pages cached
+        eng.run()
+        assert eng.stats()["cached_pages"] == 2
+        # this request needs 7 pages worst-case; pool has 8 with 2 pinned
+        r1 = eng.add_request(list(range(40, 60)), 30)
+        done = eng.run()
+        assert len(done[r1]) == 30
+        assert len(eng.finished[r0]) == 3
 
     def test_int4_pages(self, llm_setup):
         """kv_bits=4 paged serving stays close to the int8 engine."""
