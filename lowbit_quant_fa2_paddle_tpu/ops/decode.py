@@ -190,19 +190,26 @@ def decode_attention(
     page_table: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     logit_cap: float = 0.0,
-    block_kv: int = 1024,
+    block_kv: Optional[int] = None,
     kv_bits: int = 8,
     k_bits: Optional[int] = None,
     v_bits: Optional[int] = None,
     return_lse: bool = False,
+    # Clamp the KV page walk to each sequence's pages-in-use so grid steps
+    # past the length re-use the same block (no DMA issued) — batches mixing
+    # short and long sequences stream each slot's actual pages. False only
+    # for A/B measurement of the unclamped walk.
+    clamp_walk: bool = True,
     interpret: Optional[bool] = None,
 ):
     """Single-token decode attention over an int8/int4 KV cache (GQA/MQA).
 
     ``block_kv`` is the KV streaming block (and the page size when paged).
-    Measured on v5e at a 128K int8 cache: 256->71 GB/s, 1024->210,
-    2048->280, 8192->380 GB/s — use large blocks for long contiguous
-    caches; paged deployments match it to their page size.
+    Default: the paged path takes the cache's page size; the contiguous
+    path picks ``min(2048, ceil128(s_max))`` — within-process sweep on v5e
+    (b1 hk8 d128, 128K int8 cache): 1024 -> 401 GB/s, 2048 -> 648,
+    4096 -> 620; 2048 is also the page size serving deployments should
+    prefer when contexts allow.
 
     Args:
       q: ``[B, H, D]`` float — current-token queries.
@@ -228,6 +235,11 @@ def decode_attention(
     v_bits = kv_bits if v_bits is None else v_bits
     assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
     paged = page_table is not None
+    if block_kv is None:
+        if paged:
+            block_kv = k_cache.shape[2]  # the cache's page size
+        else:
+            block_kv = min(2048, cdiv(k_cache.shape[2], 128) * 128)
     v_quantized = v_cache.dtype == jnp.int8
     if v_quantized:
         assert v_scale is not None
@@ -248,7 +260,16 @@ def decode_attention(
         vs_rows = v_scale.reshape(hk, n_pages, 1, page) if v_quantized else None
 
         def row_index(bi, hi, ji, lens, tbl):
-            return (hi, tbl[bi, ji], 0, 0)
+            # Clamp the page walk to the sequence's pages-in-use: grid steps
+            # past the length keep the SAME block index, so Mosaic's pipeline
+            # skips their DMAs entirely (the compute is already `pl.when`-
+            # masked). A batch mixing 2K and 128K sequences then streams
+            # each slot's actual pages, not table_width pages per slot.
+            if not clamp_walk:
+                return (hi, tbl[bi, ji], 0, 0)
+            used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
+            jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
+            return (hi, tbl[bi, jc], 0, 0)
     else:
         _, hk, s_max, _ = k_cache.shape
         s_pad = cdiv(s_max, block_kv) * block_kv
@@ -273,7 +294,11 @@ def decode_attention(
         )
 
         def row_index(bi, hi, ji, lens, tbl):
-            return (bi * hk + hi, tbl[bi, ji], 0, 0)
+            if not clamp_walk:
+                return (bi * hk + hi, tbl[bi, ji], 0, 0)
+            used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
+            jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
+            return (bi * hk + hi, tbl[bi, jc], 0, 0)
 
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
