@@ -274,13 +274,23 @@ static PyObject* allocator_stats(PyObject*, PyObject* args) {
 // Continuous-batching scheduler (serving control plane)
 // ---------------------------------------------------------------------------
 //
-// Admission: strict FIFO over a fixed set of decode slots. A request is
-// admitted only when (a) a slot is free and (b) the page pool can cover its
-// WORST-CASE page need (prompt + max_new - 1 stored tokens) on top of every
-// running request's outstanding (reserved-but-unallocated) pages. Pages are
-// then allocated lazily as the sequence grows, so admission is the only
-// point that can fail — decode-time growth never OOMs and no preemption
-// machinery is needed.
+// Admission, "reserve" policy (default): strict FIFO over a fixed set of
+// decode slots. A request is admitted only when (a) a slot is free and (b)
+// the page pool can cover its WORST-CASE page need (prompt + max_new - 1
+// stored tokens) on top of every running request's outstanding
+// (reserved-but-unallocated) pages. Pages are then allocated lazily as the
+// sequence grows, so admission is the only point that can fail —
+// decode-time growth never OOMs and no preemption machinery is needed.
+//
+// Admission, "lazy" policy: a request is admitted as soon as a slot is free
+// and its CURRENT content (prompt pages, or stored length for a preempted
+// request) fits the free pool — no worst-case reservation, so admitted
+// concurrency is far higher on bursty mixed-length workloads. The price:
+// append_token can hit an empty pool (returns -1 instead of raising) and
+// the caller must preempt a running request (scheduler_preempt swaps it
+// back to the FRONT of the waiting queue, keeping its stored length and its
+// shared-prefix pins; the engine saves/restores the KV page payload
+// bit-exactly, so outputs are invariant to preemption).
 
 struct SchedRequest {
   int64_t prompt_len = 0;
@@ -289,12 +299,15 @@ struct SchedRequest {
   int64_t reserved = 0;   // worst-case PRIVATE page need (excludes shared)
   int32_t slot = -1;      // -1 while waiting
   int32_t sid = -1;       // allocator sequence id
+  bool preempted = false; // waiting again with length > 0 (KV swapped out)
+  bool canceled = false;  // removed from the waiting queue before admission
   std::vector<int32_t> shared;  // prefix-cache pages (pinned by the caller)
 };
 
 struct Scheduler {
   int64_t page_size = 0;
   int32_t max_running = 0;
+  bool lazy = false;              // admission policy (see above)
   PageAllocator alloc;
   std::vector<int32_t> ref;       // per-page refcount (0 == in free list)
   std::vector<int32_t> slots;     // slot -> rid (-1 free)
@@ -320,7 +333,9 @@ static int64_t pages_for(const Scheduler* s, int64_t tokens) {
 static PyObject* scheduler_new(PyObject*, PyObject* args) {
   long long num_pages, page_size;
   int max_running;
-  if (!PyArg_ParseTuple(args, "LLi", &num_pages, &page_size, &max_running))
+  int lazy = 0;
+  if (!PyArg_ParseTuple(args, "LLi|p", &num_pages, &page_size, &max_running,
+                        &lazy))
     return nullptr;
   if (page_size <= 0 || max_running <= 0 || num_pages <= 0) {
     PyErr_SetString(PyExc_ValueError, "num_pages/page_size/max_running must be > 0");
@@ -329,6 +344,7 @@ static PyObject* scheduler_new(PyObject*, PyObject* args) {
   auto* s = new Scheduler();
   s->page_size = page_size;
   s->max_running = max_running;
+  s->lazy = lazy != 0;
   s->alloc.num_pages = num_pages;
   s->alloc.free_list.reserve(num_pages);
   for (int64_t i = num_pages - 1; i >= 0; --i)
@@ -489,9 +505,16 @@ static PyObject* scheduler_step(PyObject*, PyObject* args) {
     for (int32_t i = 0; i < s->max_running; ++i)
       if (s->slots[i] < 0) { slot = i; break; }
     if (slot < 0) break;
+    // content tokens already stored (preempted resume) or about to be
+    // (fresh prompt) — their pages are allocated at admission
+    int64_t content = r.preempted ? r.length : r.prompt_len;
+    int64_t private_now =
+        pages_for(s, content) - static_cast<int64_t>(r.shared.size());
     int64_t free_pages = static_cast<int64_t>(s->alloc.free_list.size());
-    if (free_pages - s->outstanding < r.reserved) break;
-    // admit: take the slot, allocate the prompt's pages now
+    if (s->lazy ? (free_pages < private_now)
+                : (free_pages - s->outstanding < r.reserved))
+      break;
+    // admit: take the slot, allocate the content's pages now
     s->waiting.erase(s->waiting.begin());
     r.slot = slot;
     s->slots[slot] = rid;
@@ -503,18 +526,17 @@ static PyObject* scheduler_step(PyObject*, PyObject* args) {
       r.sid = static_cast<int32_t>(s->alloc.seq_pages.size());
       s->alloc.seq_pages.emplace_back();
     }
-    // sequence = shared prefix pages (caller-pinned) + private prompt pages
+    // sequence = shared prefix pages (caller-pinned) + private pages
     for (int32_t p : r.shared) s->alloc.seq_pages[r.sid].push_back(p);
-    int64_t private_prompt =
-        pages_for(s, r.prompt_len) - static_cast<int64_t>(r.shared.size());
-    for (int64_t i = 0; i < private_prompt; ++i) {
+    for (int64_t i = 0; i < private_now; ++i) {
       int32_t p = s->alloc.free_list.back();
       s->alloc.free_list.pop_back();
       s->ref[p] = 1;
       s->alloc.seq_pages[r.sid].push_back(p);
     }
-    r.length = r.prompt_len;
-    s->outstanding += r.reserved - private_prompt;
+    r.length = content;
+    r.preempted = false;
+    s->outstanding += r.reserved - private_now;
     PyObject* o = PyLong_FromLong(rid);
     PyList_Append(admitted, o);
     Py_DECREF(o);
@@ -547,10 +569,11 @@ static PyObject* scheduler_append_token(PyObject*, PyObject* args) {
     return nullptr;
   }
   SchedRequest& r = s->reqs[rid];
-  r.length += 1;
   int64_t have = static_cast<int64_t>(s->alloc.seq_pages[r.sid].size());
-  if (pages_for(s, r.length) > have) {
+  if (pages_for(s, r.length + 1) > have) {
     if (s->alloc.free_list.empty()) {
+      if (s->lazy)  // caller must free pages (evict/preempt) and retry
+        return PyLong_FromLong(-1);
       PyErr_SetString(PyExc_MemoryError,
                       "page pool exhausted (reservation accounting bug)");
       return nullptr;
@@ -561,6 +584,7 @@ static PyObject* scheduler_append_token(PyObject*, PyObject* args) {
     s->alloc.seq_pages[r.sid].push_back(p);
     s->outstanding -= 1;
   }
+  r.length += 1;
   return PyLong_FromLongLong(r.length);
 }
 
@@ -589,6 +613,83 @@ static PyObject* scheduler_release(PyObject*, PyObject* args) {
   r.slot = -1;
   r.sid = -1;
   Py_RETURN_NONE;
+}
+
+// Cancel a WAITING request: remove it from the queue and drop its add-time
+// shared-page pins (an abandoned queued request must not block strict-FIFO
+// admission behind it, nor leak pinned prefix pages).
+static PyObject* scheduler_cancel(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  auto it = (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size())
+                ? s->waiting.end()
+                : std::find(s->waiting.begin(), s->waiting.end(), rid);
+  if (it == s->waiting.end()) {
+    PyErr_SetString(PyExc_ValueError, "rid is not waiting");
+    return nullptr;
+  }
+  s->waiting.erase(it);
+  SchedRequest& r = s->reqs[rid];
+  for (int32_t p : r.shared) {
+    if (--s->ref[p] == 0) s->alloc.free_list.push_back(p);
+  }
+  r.shared.clear();
+  r.canceled = true;
+  Py_RETURN_NONE;
+}
+
+// Preempt a RUNNING request (lazy policy's page-pressure relief valve):
+// frees its slot and PRIVATE pages, keeps its stored length and add-time
+// shared-prefix pins, and re-queues it at the FRONT of the waiting queue so
+// it resumes before any younger request. The caller owns saving/restoring
+// the KV payload of the freed pages.
+static PyObject* scheduler_preempt(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &rid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  auto& pages = s->alloc.seq_pages[r.sid];
+  int64_t allocated_private = static_cast<int64_t>(pages.size()) -
+                              static_cast<int64_t>(r.shared.size());
+  // only private pages are released — the shared prefix keeps its add-time
+  // pin (the prefix payload survives in place for the resume)
+  for (size_t i = r.shared.size(); i < pages.size(); ++i) {
+    if (--s->ref[pages[i]] == 0) s->alloc.free_list.push_back(pages[i]);
+  }
+  pages.clear();
+  s->alloc.free_seq_slots.push_back(r.sid);
+  s->outstanding -= r.reserved - allocated_private;
+  s->slots[r.slot] = -1;
+  r.slot = -1;
+  r.sid = -1;
+  r.preempted = true;
+  s->waiting.insert(s->waiting.begin(), rid);
+  Py_RETURN_NONE;
+}
+
+// Current refcount of a page (0 == free). Lets the eviction loop predict
+// whether unpinning would actually return the page to the pool.
+static PyObject* scheduler_page_ref(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int pid;
+  if (!PyArg_ParseTuple(args, "Oi", &cap, &pid)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (pid < 0 || pid >= s->alloc.num_pages) {
+    PyErr_SetString(PyExc_ValueError, "page id out of range");
+    return nullptr;
+  }
+  return PyLong_FromLong(s->ref[pid]);
 }
 
 static PyObject* scheduler_page_table(PyObject*, PyObject* args) {
@@ -620,10 +721,12 @@ static PyObject* scheduler_info(PyObject*, PyObject* args) {
     return nullptr;
   }
   const SchedRequest& r = s->reqs[rid];
-  return Py_BuildValue("{s:L,s:L,s:L,s:i,s:n}", "prompt_len",
+  return Py_BuildValue("{s:L,s:L,s:L,s:i,s:n,s:O,s:O}", "prompt_len",
                        (long long)r.prompt_len, "max_new", (long long)r.max_new,
                        "length", (long long)r.length, "slot", (int)r.slot,
-                       "shared", static_cast<Py_ssize_t>(r.shared.size()));
+                       "shared", static_cast<Py_ssize_t>(r.shared.size()),
+                       "preempted", r.preempted ? Py_True : Py_False,
+                       "canceled", r.canceled ? Py_True : Py_False);
 }
 
 static PyObject* scheduler_stats(PyObject*, PyObject* args) {
@@ -662,7 +765,14 @@ static PyMethodDef Methods[] = {
      "page table of a sequence"},
     {"allocator_stats", allocator_stats, METH_VARARGS, "allocator stats"},
     {"scheduler_new", scheduler_new, METH_VARARGS,
-     "create continuous-batching scheduler(num_pages, page_size, max_running)"},
+     "create continuous-batching scheduler(num_pages, page_size, max_running"
+     "[, lazy])"},
+    {"scheduler_cancel", scheduler_cancel, METH_VARARGS,
+     "remove a waiting request from the queue; unpins its shared pages"},
+    {"scheduler_preempt", scheduler_preempt, METH_VARARGS,
+     "swap a running request back to the front of the waiting queue"},
+    {"scheduler_page_ref", scheduler_page_ref, METH_VARARGS,
+     "current refcount of a page (0 == free)"},
     {"scheduler_add", scheduler_add, METH_VARARGS,
      "queue request(prompt_len, max_new) -> rid"},
     {"scheduler_step", scheduler_step, METH_VARARGS,

@@ -38,8 +38,18 @@ except Exception:  # pragma: no cover
 
 _NUM = re.compile(r"-?\d[\d,]*(?:\.\d+)?")
 _CHOICES = ("A", "B", "C", "D", "E")
+
+# Punctuation that wraps a model's final-answer string without being part of
+# it.  Leading and trailing sets differ (":" only ever prefixes, "." "/" only
+# ever trail), so normalization is a table, not a strip-chain.
+_ANSWER_DECOR = {"lead": ": \n", "trail": "./ \n"}
+
+# A polar coordinate "(r, theta)" — radius then an angle term (a number, or
+# something built from pi/tau).  Order matters there, so the unordered-list
+# comparison must not fire on these.
+_ANGLE_TERM = r"(?:[0-9.]+|[0-9.*/ ]*(?:pi|π|tau)[0-9.*/ ]*)"
 _POLAR = re.compile(
-    r"\(\s*\d+(\.\d+)?\s*,\s*(pi|\d+(\.\d+)?|π|tau)\s*\)", re.IGNORECASE
+    r"^\(\s*[0-9]+(?:\.[0-9]+)?\s*,\s*" + _ANGLE_TERM + r"\s*\)", re.IGNORECASE
 )
 
 
@@ -56,14 +66,21 @@ def extract_answer(text: str) -> Optional[str]:
     return nums[-1] if nums else None
 
 
+def _strip_answer_decor(text: str) -> str:
+    """Peel wrapper punctuation off an answer string using the decor table."""
+    text = text.lstrip(_ANSWER_DECOR["lead"])
+    return text.rstrip(_ANSWER_DECOR["trail"])
+
+
 def clean_choice_answer(prediction: str) -> str:
     """Normalize a multiple-choice prediction to its final A-E letter
-    (reference grader.py:24-31): the LAST standalone letter wins ('The answer
-    is B. Actually, D' -> 'D')."""
-    pred = prediction.strip("\n").rstrip(".").rstrip("/").strip(" ").lstrip(":")
+    (capability match for reference grader.py:24-31): the LAST standalone
+    letter wins ('The answer is B. Actually, D' -> 'D')."""
+    pred = _strip_answer_decor(prediction)
     letters = re.findall(r"\b([A-E])\b", pred.upper())
-    pred = letters[-1] if letters else pred.strip().strip(".")
-    return pred.rstrip(".").rstrip("/")
+    if letters:
+        return letters[-1]
+    return _strip_answer_decor(pred)
 
 
 def parse_numeric_value(value) -> Optional[float]:

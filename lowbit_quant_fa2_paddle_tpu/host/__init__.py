@@ -122,24 +122,34 @@ class Scheduler:
     """Continuous-batching request scheduler (serving control plane).
 
     FIFO admission over ``max_running`` decode slots and a page pool of
-    ``num_pages`` pages of ``page_size`` tokens. A request is admitted only
-    when a slot is free AND the pool can cover its worst-case page need
-    (``prompt_len + max_new - 1`` stored tokens) on top of every running
-    request's outstanding reservation — pages are then allocated lazily as
-    the sequence grows, so decode-time growth (:meth:`append_token`) can
-    never fail and no preemption machinery is needed.
+    ``num_pages`` pages of ``page_size`` tokens. Two admission policies:
+
+    * ``lazy=False`` (reserve, default): a request is admitted only when a
+      slot is free AND the pool can cover its worst-case page need
+      (``prompt_len + max_new - 1`` stored tokens) on top of every running
+      request's outstanding reservation — pages are then allocated lazily
+      as the sequence grows, so decode-time growth (:meth:`append_token`)
+      can never fail and no preemption machinery is needed.
+    * ``lazy=True``: admission only requires the request's CURRENT content
+      pages to fit the free pool, so admitted concurrency is much higher on
+      bursty mixed-length workloads; in exchange :meth:`append_token` may
+      return ``-1`` on pool exhaustion and the caller must free pages
+      (cache eviction / :meth:`preempt`) and retry.
 
     Native C++ implementation in csrc/lowbit_host.cpp (the scheduler role
     sglang's runtime plays around the reference's decode kernel,
     reference src/triton/utils/main.py:14-15); pure-Python fallback below.
     """
 
-    def __init__(self, num_pages: int, page_size: int, max_running: int):
+    def __init__(self, num_pages: int, page_size: int, max_running: int,
+                 lazy: bool = False):
         self.page_size = page_size
         self.max_running = max_running
         self.num_pages = num_pages
+        self.lazy = bool(lazy)
         if _native is not None and hasattr(_native, "scheduler_new"):
-            self._h = _native.scheduler_new(num_pages, page_size, max_running)
+            self._h = _native.scheduler_new(num_pages, page_size, max_running,
+                                            bool(lazy))
             return
         self._h = None
         if min(num_pages, page_size, max_running) <= 0:
@@ -182,7 +192,8 @@ class Scheduler:
         rid = len(self._reqs)
         self._reqs.append(
             {"prompt_len": prompt_len, "max_new": max_new, "length": 0,
-             "reserved": need, "slot": -1, "pages": None, "shared": shared}
+             "reserved": need, "slot": -1, "pages": None, "shared": shared,
+             "preempted": False, "canceled": False}
         )
         self._waiting.append(rid)
         return rid
@@ -245,17 +256,22 @@ class Scheduler:
             free_slots = [i for i, v in enumerate(self._slots) if v < 0]
             if not free_slots:
                 break
-            if len(self._free) - self._outstanding < r["reserved"]:
+            content = r["length"] if r["preempted"] else r["prompt_len"]
+            private_now = self._pages_for(content) - len(r["shared"])
+            if self.lazy:
+                if len(self._free) < private_now:
+                    break
+            elif len(self._free) - self._outstanding < r["reserved"]:
                 break
             self._waiting.pop(0)
             r["slot"] = free_slots[0]
             self._slots[free_slots[0]] = rid
-            private_prompt = self._pages_for(r["prompt_len"]) - len(r["shared"])
             r["pages"] = list(r["shared"]) + [
-                self._alloc_page() for _ in range(private_prompt)
+                self._alloc_page() for _ in range(private_now)
             ]
-            r["length"] = r["prompt_len"]
-            self._outstanding += r["reserved"] - private_prompt
+            r["length"] = content
+            r["preempted"] = False
+            self._outstanding += r["reserved"] - private_now
             admitted.append(rid)
         return {
             "admitted": admitted,
@@ -265,14 +281,20 @@ class Scheduler:
 
     def append_token(self, rid: int) -> int:
         """Grow a running sequence by one stored token (allocates a page on
-        boundary crossing; guaranteed by admission accounting)."""
+        boundary crossing; guaranteed by admission accounting under the
+        reserve policy). Under ``lazy`` returns ``-1`` when the pool is
+        exhausted — the caller must free pages and retry."""
         if self._h is not None:
             return _native.scheduler_append_token(self._h, rid)
         r = self._require_running(rid)
-        r["length"] += 1
-        if self._pages_for(r["length"]) > len(r["pages"]):
+        if self._pages_for(r["length"] + 1) > len(r["pages"]):
+            if not self._free:
+                if self.lazy:
+                    return -1
+                raise MemoryError("page pool exhausted (reservation accounting bug)")
             r["pages"].append(self._alloc_page())
             self._outstanding -= 1
+        r["length"] += 1
         return r["length"]
 
     def release(self, rid: int) -> None:
@@ -290,6 +312,53 @@ class Scheduler:
         self._slots[r["slot"]] = -1
         r["slot"], r["pages"] = -1, None
 
+    def cancel(self, rid: int) -> None:
+        """Remove a WAITING request from the queue and drop its add-time
+        shared-page pins (an abandoned queued request must not block
+        strict-FIFO admission, nor leak pinned prefix pages)."""
+        if self._h is not None:
+            _native.scheduler_cancel(self._h, rid)
+            return
+        if rid < 0 or rid >= len(self._reqs) or rid not in self._waiting:
+            raise ValueError("rid is not waiting")
+        self._waiting.remove(rid)
+        r = self._reqs[rid]
+        for p in r["shared"]:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+        r["shared"] = []
+        r["canceled"] = True
+
+    def preempt(self, rid: int) -> None:
+        """Swap a RUNNING request back to the FRONT of the waiting queue:
+        frees its slot and private pages, keeps its stored length and its
+        shared-prefix pins. The caller owns saving/restoring the freed
+        pages' KV payload (the engine swaps it to host memory bit-exactly,
+        so generated tokens are invariant to preemption)."""
+        if self._h is not None:
+            _native.scheduler_preempt(self._h, rid)
+            return
+        r = self._require_running(rid)
+        allocated_private = len(r["pages"]) - len(r["shared"])
+        for p in r["pages"][len(r["shared"]):]:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+        self._outstanding -= r["reserved"] - allocated_private
+        self._slots[r["slot"]] = -1
+        r["slot"], r["pages"] = -1, None
+        r["preempted"] = True
+        self._waiting.insert(0, rid)
+
+    def page_ref(self, pid: int) -> int:
+        """Current refcount of a page (0 == free)."""
+        if self._h is not None:
+            return _native.scheduler_page_ref(self._h, pid)
+        if pid < 0 or pid >= self.num_pages:
+            raise ValueError("page id out of range")
+        return self._ref[pid]
+
     def page_table(self, rid: int) -> List[int]:
         if self._h is not None:
             return _native.scheduler_page_table(self._h, rid)
@@ -299,7 +368,8 @@ class Scheduler:
         if self._h is not None:
             return _native.scheduler_info(self._h, rid)
         r = self._reqs[rid]
-        out = {k: r[k] for k in ("prompt_len", "max_new", "length", "slot")}
+        out = {k: r[k] for k in
+               ("prompt_len", "max_new", "length", "slot", "preempted", "canceled")}
         out["shared"] = len(r["shared"])
         return out
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import hashlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -59,7 +60,27 @@ class ServingConfig:
     # Automatic prefix caching: requests whose leading full prompt pages
     # hash-match a previous prompt share those pages copy-free AND skip
     # their prefill compute (chunked prefill + LSE merge).
+    #
+    # APPROXIMATION NOTE: a cache hit computes first-token logits through
+    # the chunked path (suffix attention over int8-dequantized cached
+    # prefix KV, LSE-merged with the suffix's causal self-attention) while
+    # a miss computes them through the full bf16-activation prefill. The
+    # two differ by quantization error on the prefix KV (logits cosine
+    # > 0.999, tracked by tests/test_serving.py::test_chunked_prefill_
+    # accuracy), so a prompt that hits the cache can in principle sample a
+    # different token near an argmax tie than the same prompt run solo.
+    # Set prefix_caching=False where bit-exact solo/batched invariance is
+    # required.
     prefix_caching: bool = True
+    # Admission policy: "reserve" (default) admits only when the pool can
+    # cover a request's worst-case page need, so decode-time growth can
+    # never fail; "lazy" admits as soon as the prompt's own pages fit —
+    # much higher admitted concurrency on bursty mixed-length workloads —
+    # and relieves decode-time page pressure by LRU cache eviction followed
+    # by preemption (youngest request's KV pages are swapped to host
+    # memory bit-exactly and restored on resume, so generated tokens are
+    # invariant to preemption).
+    admission: str = "reserve"
 
     @property
     def table_width(self) -> int:
@@ -85,8 +106,12 @@ def _empty_paged_caches(cfg: L.LLMConfig, scfg: ServingConfig) -> List[dict]:
 class PrefixCache:
     """Hash-chained prefix-page cache (vLLM-style automatic prefix caching).
 
-    Each FULL prompt page is keyed by ``hash(prefix_hash, page_tokens)``;
-    cached pages are pinned in the scheduler's refcounted pool
+    Each FULL prompt page is keyed by the SHA-256 digest of its token bytes
+    chained with the previous page's digest — a collision-resistant key of
+    the full token prefix, so a lookup hit cannot silently attach another
+    prompt's KV pages (Python's ``hash()`` is 64-bit and collision-prone at
+    scale; vLLM moved to strong hashes for exactly this failure mode).
+    Cached pages are pinned in the scheduler's refcounted pool
     (``ref_page``/``unref_page``) and shared copy-free across requests —
     shared pages are read-only by construction (decode positions start past
     the prompt, and the last usable prefix page is always private). Eviction
@@ -97,15 +122,17 @@ class PrefixCache:
     def __init__(self, sched: host.Scheduler, page_size: int):
         self._sched = sched
         self._page = page_size
-        self._entries: "collections.OrderedDict[int, int]" = collections.OrderedDict()
+        self._entries: "collections.OrderedDict[bytes, int]" = collections.OrderedDict()
         self.hits = 0
         self.misses = 0
 
     def _chain(self, prompt: np.ndarray):
-        h = 0
+        digest = b""
+        tokens = np.ascontiguousarray(prompt, np.int64)
         for j in range(len(prompt) // self._page):
-            h = hash((h, tuple(int(t) for t in prompt[j * self._page : (j + 1) * self._page])))
-            yield j, h
+            page_bytes = tokens[j * self._page : (j + 1) * self._page].tobytes()
+            digest = hashlib.sha256(digest + page_bytes).digest()
+            yield j, digest
 
     def lookup(self, prompt: np.ndarray, max_pages: int) -> List[int]:
         """Longest cached page-run covering the prompt's leading full pages
@@ -132,12 +159,17 @@ class PrefixCache:
             self._entries[h] = pages[j]
 
     def evict_one(self) -> bool:
-        """Drop the LRU entry's pin; returns False when the cache is empty."""
-        if not self._entries:
-            return False
-        _, pid = self._entries.popitem(last=False)
-        self._sched.unref_page(pid)
-        return True
+        """Evict the least-recently-used entry whose page actually returns
+        to the free pool, skipping entries still pinned by waiting/running
+        requests — dropping those pins frees nothing and only destroys
+        reusable cache state. Returns False when no evictable entry exists
+        (callers use this as the stop condition under page pressure)."""
+        for key, pid in self._entries.items():
+            if self._sched.page_ref(pid) == 1:  # only the cache's pin remains
+                del self._entries[key]
+                self._sched.unref_page(pid)
+                return True
+        return False
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -326,6 +358,46 @@ def _decode_step(
     return logits, new_caches
 
 
+@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
+def _scatter_prefill_pages(
+    caches: List[dict],
+    per_layer: List[tuple],  # (kq [Hk,S,dk], ks [Hk,S], vq, vs) per layer
+    pids: jax.Array,  # [n_pages] int32 — the private pages, in order
+    *,
+    page_size: int,
+) -> List[dict]:
+    """Scatter a prefill's quantized KV rows into their pages in ONE jitted
+    donated update per engine tick (eager per-page .at[].set copies the
+    whole cache per call — O(depth x pages) full-cache copies)."""
+    n = pids.shape[0]
+    new = []
+    for c, (kq, ks, vq, vs) in zip(caches, per_layer):
+        hk, s_rows = kq.shape[0], kq.shape[1]
+        pad = n * page_size - s_rows
+
+        def as_pages(x, pad=pad, hk=hk, n=n):
+            x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+            return x.reshape((hk, n, page_size) + x.shape[2:])
+
+        new.append({
+            "k": c["k"].at[:, pids].set(as_pages(kq)),
+            "v": c["v"].at[:, pids].set(as_pages(vq)),
+            "k_scale": c["k_scale"].at[:, pids].set(as_pages(ks)),
+            "v_scale": c["v_scale"].at[:, pids].set(as_pages(vs)),
+        })
+    return new
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_pages(caches: List[dict], payload: List[dict], pids: jax.Array):
+    """Write page-shaped payload ([Hk, n, page, ...] per field) back into the
+    paged caches (the preemption-resume restore path)."""
+    return [
+        {name: c[name].at[:, pids].set(p[name]) for name in c}
+        for c, p in zip(caches, payload)
+    ]
+
+
 class ServingEngine:
     """Single-host continuous-batching engine for the in-repo LLM.
 
@@ -348,7 +420,12 @@ class ServingEngine:
         self.cfg = cfg
         self.scfg = scfg
         self.interpret = interpret
-        self.sched = host.Scheduler(scfg.num_pages, scfg.page_size, scfg.max_batch)
+        if scfg.admission not in ("reserve", "lazy"):
+            raise ValueError("admission must be 'reserve' or 'lazy'")
+        self.sched = host.Scheduler(
+            scfg.num_pages, scfg.page_size, scfg.max_batch,
+            lazy=scfg.admission == "lazy",
+        )
         self.prefix_cache = (
             PrefixCache(self.sched, scfg.page_size) if scfg.prefix_caching else None
         )
@@ -365,6 +442,10 @@ class ServingEngine:
         self._max_new: Dict[int, int] = {}
         self.outputs: Dict[int, List[int]] = {}
         self._finished: Dict[int, List[int]] = {}
+        # preempted (swapped-out) requests: rid -> saved private-page payload
+        self._paused: Dict[int, dict] = {}
+        self._admit_order: List[int] = []  # running rids, oldest first
+        self.preemptions = 0
         self._decode = jax.jit(
             functools.partial(
                 _decode_step,
@@ -434,22 +515,12 @@ class ServingEngine:
                 self.params, jnp.asarray(prompt)[None], self.cfg,
                 self.scfg.kv_bits, self.interpret,
             )
-        for li, (kq, ks, vq, vs) in enumerate(per_layer):
-            # per_layer rows start at position s_pre; write the private pages
-            c = self.caches[li]
-            for j in range(n_shared, len(pages)):
-                lo, hi = j * p - s_pre, min((j + 1) * p, prompt.size) - s_pre
-                if lo >= hi:
-                    break
-                pg = pages[j]
-                n = hi - lo
-                c = {
-                    "k": c["k"].at[:, pg, :n].set(kq[:, lo:hi]),
-                    "v": c["v"].at[:, pg, :n].set(vq[:, lo:hi]),
-                    "k_scale": c["k_scale"].at[:, pg, :n].set(ks[:, lo:hi]),
-                    "v_scale": c["v_scale"].at[:, pg, :n].set(vs[:, lo:hi]),
-                }
-            self.caches[li] = c
+        # per_layer rows start at position s_pre == n_shared pages; one
+        # jitted donated scatter writes every private page of every layer
+        self.caches = _scatter_prefill_pages(
+            self.caches, per_layer,
+            jnp.asarray(pages[n_shared:], jnp.int32), page_size=p,
+        )
         if self.prefix_cache is not None:
             self.prefix_cache.register(prompt, pages)
         slot = self.sched.info(rid)["slot"]
@@ -458,21 +529,92 @@ class ServingEngine:
         if len(self.outputs[rid]) >= self._max_new[rid]:
             self._retire(rid, slot)
             return
+        self._seat(rid, slot, tok, prompt.size, pages)
+
+    def _seat(self, rid: int, slot: int, next_tok: int, length: int,
+              pages: Sequence[int]) -> None:
         self._slot_rid[slot] = rid
         self._active[slot] = True
-        self._next_tok[slot] = tok
-        self._lengths[slot] = prompt.size
+        self._next_tok[slot] = next_tok
+        self._lengths[slot] = length
         row = np.zeros((self.scfg.table_width,), np.int32)
         row[: len(pages)] = pages
         self._table[slot] = row
+        self._admit_order.append(rid)
+
+    def _preempt(self, rid: int) -> None:
+        """Swap a running request out: save its private pages' KV payload to
+        host memory, release its slot/pages, re-queue it at the front."""
+        slot = int(np.nonzero(self._slot_rid == rid)[0][0])
+        pages = self.sched.page_table(rid)
+        n_shared = self.sched.info(rid)["shared"]
+        priv = np.asarray(pages[n_shared:], np.int32)
+        saved = jax.device_get([
+            {name: c[name][:, priv] for name in c} for c in self.caches
+        ])
+        self.sched.preempt(rid)
+        self._paused[rid] = {
+            "payload": saved,
+            "next_tok": int(self._next_tok[slot]),
+            "n_shared": n_shared,
+        }
+        self._slot_rid[slot] = -1
+        self._active[slot] = False
+        self._lengths[slot] = 0
+        self._admit_order.remove(rid)
+        self.preemptions += 1
+
+    def _resume(self, rid: int) -> None:
+        """Re-admit a preempted request: restore its saved KV payload into
+        the freshly allocated pages (bit-exact, so generation continues as
+        if never interrupted)."""
+        rec = self._paused.pop(rid)
+        info = self.sched.info(rid)
+        pages = self.sched.page_table(rid)
+        priv = jnp.asarray(pages[rec["n_shared"]:], jnp.int32)
+        payload = jax.device_put(rec["payload"])
+        self.caches = _write_pages(self.caches, payload, priv)
+        self._seat(rid, info["slot"], rec["next_tok"], info["length"], pages)
 
     def _retire(self, rid: int, slot: int) -> None:
         self.sched.release(rid)
         self._finished[rid] = self.outputs[rid]
+        if rid in self._admit_order:
+            self._admit_order.remove(rid)
         if self._slot_rid[slot] == rid:
             self._slot_rid[slot] = -1
             self._active[slot] = False
             self._lengths[slot] = 0
+
+    def cancel_request(self, rid: int) -> List[int]:
+        """Abort a request in any pre-finished state; returns the tokens it
+        generated so far. WAITING requests leave the queue (their shared-page
+        pins drop, so an abandoned head request cannot block FIFO admission);
+        PREEMPTED requests also drop their saved payload; RUNNING requests
+        release their slot and pages."""
+        if rid in self._finished:
+            return self._finished[rid]
+        if rid in self._prompts:  # waiting, never prefilled
+            self.sched.cancel(rid)
+            self._waiting_rids.remove(rid)
+            del self._prompts[rid]
+            self._shared.pop(rid, None)
+        elif rid in self._paused:  # preempted (waiting with swapped-out KV)
+            self.sched.cancel(rid)
+            del self._paused[rid]
+        elif rid in self._slot_rid:  # running
+            slot = int(np.nonzero(self._slot_rid == rid)[0][0])
+            self.sched.release(rid)
+            self._admit_order.remove(rid)
+            self._slot_rid[slot] = -1
+            self._active[slot] = False
+            self._lengths[slot] = 0
+        else:
+            raise ValueError(f"unknown rid {rid}")
+        toks = self.outputs.get(rid, [])
+        self._finished[rid] = toks
+        self._max_new.pop(rid, None)
+        return toks
 
     def step(self) -> Dict[int, List[int]]:
         """One engine tick: admit+prefill, then one batched decode step.
@@ -492,7 +634,9 @@ class ServingEngine:
         st = self.sched.step()
         admitted = list(st["admitted"])
         # Under page pressure, evict LRU prefix-cache pins until the FIFO
-        # head admits (or the cache is drained / we're blocked on slots).
+        # head admits (or no evictable entry remains / we're blocked on
+        # slots). evict_one only evicts entries whose page actually frees,
+        # so each iteration makes progress by construction.
         while st["waiting"] and self.prefix_cache is not None:
             if self.sched.stats()["used_slots"] >= self.scfg.max_batch:
                 break
@@ -500,16 +644,20 @@ class ServingEngine:
                 break
             st = self.sched.step()
             admitted += st["admitted"]
-            if st["admitted"]:
-                continue
         for rid in admitted:
-            self._prefill(rid)
+            if rid in self._paused:
+                self._resume(rid)
+            else:
+                self._prefill(rid)
 
         slots = np.nonzero(self._active)[0]
+        if slots.size and self.scfg.admission == "lazy":
+            slots = self._relieve_page_pressure(slots)
         if slots.size:
             for slot in slots:
                 rid = int(self._slot_rid[slot])
                 new_len = self.sched.append_token(rid)
+                assert new_len > 0, "page pressure relief failed"
                 self._lengths[slot] = new_len
                 pages = self.sched.page_table(rid)
                 self._table[slot, : len(pages)] = pages
@@ -532,10 +680,37 @@ class ServingEngine:
                     self._next_tok[slot] = tok
         return {r: t for r, t in self._finished.items() if r not in done_before}
 
+    def _relieve_page_pressure(self, slots: np.ndarray) -> np.ndarray:
+        """Lazy admission's decode-time relief valve: before this tick's
+        appends, make sure the pool holds every page the active slots will
+        allocate — first by LRU cache eviction, then by preempting the
+        YOUNGEST running request (its pages free immediately; strict-FIFO
+        re-queue at the front keeps it ahead of fresh arrivals)."""
+        while True:
+            needed = 0
+            for slot in slots:
+                rid = int(self._slot_rid[slot])
+                length = int(self._lengths[slot])
+                if (length % self.scfg.page_size == 0
+                        and length // self.scfg.page_size
+                        >= len(self.sched.page_table(rid))):
+                    needed += 1
+            if self.sched.stats()["free_pages"] >= needed:
+                return slots
+            if self.prefix_cache is not None and self.prefix_cache.evict_one():
+                continue
+            if len(self._admit_order) <= 1:
+                raise MemoryError(
+                    "page pool exhausted with a single running request "
+                    "(admission accounting bug)"
+                )
+            self._preempt(self._admit_order[-1])
+            slots = np.nonzero(self._active)[0]
+
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Drive :meth:`step` until every queued request completes."""
         for _ in range(max_steps):
-            if not self._prompts and not self._active.any():
+            if not self._prompts and not self._active.any() and not self._paused:
                 break
             self.step()
         else:
@@ -551,6 +726,8 @@ class ServingEngine:
         s = self.sched.stats()
         s["active_slots"] = int(self._active.sum())
         s["finished"] = len(self._finished)
+        s["preemptions"] = self.preemptions
+        s["paused"] = len(self._paused)
         if self.prefix_cache is not None:
             s["cached_pages"] = len(self.prefix_cache)
             s["prefix_hits"] = self.prefix_cache.hits
