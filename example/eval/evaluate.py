@@ -1,10 +1,13 @@
 """Generation-quality evaluation — the reference's example/eval/evaluate.py
 (VQAScore / CLIPScore / ITMScore over extracted frames -> result.json).
 
-This environment has no model downloads (zero egress), so the harness keeps
-the reference's pluggable-scorer shape with two built-in reference-free /
-reference-based scorers (PSNR and cosine vs a baseline generation); CLIP-like
-scorers can be registered when their weights are available locally.
+This environment has no model downloads (zero egress), so the perceptual
+slot the reference fills with downloaded models is filled by the local
+scorers in evalkit/perceptual.py: SSIM, frequency-band MSE, and a
+fixed-weight random-conv feature cosine, all computed over the frame
+projection of each impl's generation (latent tokens -> spatial grid).
+Tensor-level PSNR/cosine remain as the raw-accuracy scorers; CLIP-like
+scorers can be registered when weights are available locally.
 
   python example/eval/evaluate.py --impl int8 int4 --steps 8
 """
@@ -23,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lowbit_quant_fa2_paddle_tpu.evalkit import perceptual
 from lowbit_quant_fa2_paddle_tpu.models import dit
 from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
 
@@ -50,6 +54,15 @@ def cosine(frames, baseline):
     return float(cosine_similarity(jnp.asarray(frames), jnp.asarray(baseline)))
 
 
+@register_scorer("perceptual")
+def perceptual_scores(latents, baseline):
+    """SSIM + random-feature cosine + frequency-band MSE over the latents'
+    frame projection (the VQA/CLIP/ITM perceptual slot, locally)."""
+    return perceptual.perceptual_report(
+        perceptual.latent_to_frames(latents), perceptual.latent_to_frames(baseline)
+    )
+
+
 def generate(params, cfg, impl, steps, seq, key):
     x = jax.random.normal(key, (1, seq, cfg.dim), cfg.dtype)
     step = jax.jit(lambda params, x, t: x - 0.1 * dit.dit_forward(params, x, t, cfg, attn_impl=impl))
@@ -63,7 +76,8 @@ def main():
     p.add_argument("--impl", nargs="+", default=["int8", "int4"])
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--seq", type=int, default=512)
-    p.add_argument("--scorers", nargs="+", default=["psnr", "cosine"])
+    p.add_argument("--scorers", nargs="+",
+                   default=["psnr", "cosine", "perceptual"])
     p.add_argument("--output", default="eval_out/result.json")
     args = p.parse_args()
 

@@ -134,6 +134,8 @@ def random_feature_distance(a: np.ndarray, b: np.ndarray, *,
     sims = []
     c_in = 1
     for layer in range(depth):
+        if min(xa.shape[-2:]) < 3:  # too small for another 3x3 conv
+            break
         f = _fixed_filters(width, c_in, 3, seed + layer)
         xa = np.maximum(_conv2d_valid(xa, f), 0.0)
         xb = np.maximum(_conv2d_valid(xb, f), 0.0)

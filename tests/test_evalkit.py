@@ -159,3 +159,51 @@ def test_end_to_end_with_llm():
                           extra={"dataset_args": {"n": 4}})
     summary = run_inference(cfg, gen, None)
     assert summary["n"] == 4  # untrained model: accuracy not asserted
+
+
+# -- perceptual scorers (the local VQA/CLIP/ITM stand-ins) -------------------
+
+
+def test_perceptual_scorers():
+    import numpy as np
+    from lowbit_quant_fa2_paddle_tpu.evalkit import perceptual as P
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((3, 32, 32))
+    # identity: perfect scores
+    assert P.ssim(base, base) == pytest.approx(1.0)
+    assert P.random_feature_distance(base, base) == pytest.approx(1.0)
+    bands = P.freq_band_mse(base, base)
+    assert all(v == 0.0 for v in bands.values())
+
+    # mild vs heavy noise: every scorer must rank them correctly
+    mild = base + 0.05 * rng.standard_normal(base.shape)
+    heavy = base + 1.0 * rng.standard_normal(base.shape)
+    assert 1.0 > P.ssim(mild, base) > P.ssim(heavy, base)
+    assert 1.0 > P.random_feature_distance(mild, base) > P.random_feature_distance(heavy, base)
+    assert P.freq_band_mse(mild, base)["high"] < P.freq_band_mse(heavy, base)["high"]
+
+    # blur vs noise separate in frequency space: blur kills high band
+    # CONTENT, not low; additive noise shows up in the high band error
+    blur = 0.25 * (
+        base
+        + np.roll(base, 1, axis=-1)
+        + np.roll(base, 1, axis=-2)
+        + np.roll(np.roll(base, 1, axis=-1), 1, axis=-2)
+    )
+    b_blur = P.freq_band_mse(blur, base)
+    assert b_blur["high"] > b_blur["low"]  # blur's error concentrates high
+
+    # report shape used by eval_out/result.json
+    rep = P.perceptual_report(mild, base)
+    assert set(rep) == {"ssim", "feature_cos", "freq_mse_low", "freq_mse_mid", "freq_mse_high"}
+
+
+def test_latent_to_frames_shapes():
+    import numpy as np
+    from lowbit_quant_fa2_paddle_tpu.evalkit import perceptual as P
+
+    frames = P.latent_to_frames(np.zeros((2, 48, 16), np.float32))
+    assert frames.shape == (8, 6, 8)  # 48 tokens -> 6x8 grid, 4 channel-frames
+    frames = P.latent_to_frames(np.zeros((64, 8), np.float32))  # unbatched
+    assert frames.shape == (4, 8, 8)
