@@ -10,7 +10,8 @@ value = fp16-FA2 wall / int8 wall for the full drop-in attention op
 latent tokens (49x480x720 video), 30 heads, head_dim 64 — the shape the
 reference's end-to-end claim is made on. vs_baseline divides by the
 reference's published 1.2x. The full-pipeline 50-step DiT run (compile
-excluded) is recorded separately in VIDEO_TEST_TPU.json — 1.27x in round 2.
+excluded) is recorded separately in VIDEO_TEST_TPU.json — 1.06x vs our own
+K-major fp at the end of round 2.
 
 Secondary diagnostics on stderr include the reference bench-suite kernel
 metric (int8 kernel TFLOP/s at b4 h32 d64 s4096; reference GPU record
