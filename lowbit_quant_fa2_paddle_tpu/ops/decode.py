@@ -75,10 +75,19 @@ def _decode_kernel(
     v_quantized: bool,
     k_bits: int = 8,
     v_bits: int = 8,
+    int_qk: bool = False,
+    int_pv: bool = False,
+    heads_per_step: int = 1,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
     nj = pl.num_programs(2)
+    # With heads_per_step > 1 the blocks carry hb KV heads ([1, hb, ...])
+    # and one grid step runs the hb head-computations back to back: hb x
+    # the DMA bytes per step, so the fixed per-step cost (loop/DMA-issue)
+    # amortizes — the loss that kept the int8 stream at ~540 GB/s while
+    # bf16 (2x the bytes per step) ran ~750 (r3 block sweep).
+    gp = m_scr.shape[0] // heads_per_step  # padded group rows per head
 
     @pl.when(j == 0)
     def _init():
@@ -88,18 +97,48 @@ def _decode_kernel(
 
     length = lengths_ref[b]
 
-    @pl.when(j * block_kv < length)
-    def _compute():
-        q = q_ref[0, 0]  # [G, D] f32
-        ks_row = ks_ref[0, 0]  # [1, BK]
-        if k_bits == 4:
+    def _head_block(t):
+        rows = slice(t * gp, (t + 1) * gp)
+        q = q_ref[0, t]  # [G, D] f32
+        ks_row = ks_ref[t, 0]  # [1, BK]
+        if int_qk and k_bits in (8, 4):
+            # Integer-domain QK: quantize q per-row IN-KERNEL (the q tile is
+            # one [G, D] vreg-row — the chain is noise) and feed the int8 K
+            # codes STRAIGHT to the MXU (s8s8 -> s32). The f32 path below
+            # must first materialize a 4x-sized f32 copy of the whole
+            # [BK, D] tile on the VPU; at 128K context that upcast pass is
+            # exactly the ~30% of stream rate the int8 path was losing
+            # (DECODE_TPU.json r2: 541 GB/s vs bf16's 772).
+            qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0 + EPS
+            q8 = round_away(q / qa).astype(jnp.int8)
+            if k_bits == 4:
+                p32 = k_ref[t, 0].astype(jnp.int32)  # [BK, D/2]
+                lo = jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(p32, 28), 28
+                ).astype(jnp.int8)
+                hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.int8)
+                dh = p32.shape[-1]
+                sI = jax.lax.dot_general(
+                    q8[:, :dh], lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) + jax.lax.dot_general(
+                    q8[:, dh:], hi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                sI = jax.lax.dot_general(
+                    q8, k_ref[t, 0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [G, BK]
+            s = sI.astype(jnp.float32) * (qa * sm_scale)
+        elif k_bits == 4:
             # Packed contraction without materializing the unpacked tile:
             # unpacked columns are [lo | hi] (halves-of-D), so
             # q @ unpack(kp)^T == q_lo @ lo^T + q_hi @ hi^T — two half-width
             # dots instead of shifts + a lane-concat relayout on the big
             # [BK, D] tile (the concat was costing more than the halved DMA
             # saved; see DECODE_TPU.json history).
-            p32 = k_ref[0, 0].astype(jnp.int32)  # [BK, D/2]
+            p32 = k_ref[t, 0].astype(jnp.int32)  # [BK, D/2]
             lo = jax.lax.shift_right_arithmetic(
                 jax.lax.shift_left(p32, 28), 28
             ).astype(jnp.float32)
@@ -112,12 +151,14 @@ def _decode_kernel(
                 q[:, dh:], hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, BK]
+            s = s * sm_scale
         else:
-            k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+            k = k_ref[t, 0].astype(jnp.float32)  # [BK, D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [G, BK]
-        s = s * ks_row * sm_scale
+            s = s * sm_scale
+        s = s * ks_row
         if logit_cap > 0:
             # tanh capping in natural space (reference quant_sglang logit_cap)
             s = logit_cap * jnp.tanh(s / logit_cap)
@@ -125,27 +166,41 @@ def _decode_kernel(
         pos = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, MASK_VALUE)
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
+        m_prev = m_scr[rows]
+        l_prev = l_scr[rows]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+        l_scr[rows] = alpha * l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
-        m_scr[...] = m_next
+        m_scr[rows] = m_next
 
         if v_quantized:
             # In-kernel per-token V dequant: fold the scale row into P's
             # columns (commutes through the PV contraction) — one [G,BK]
             # multiply instead of a [BK,D] one.
-            p = p * vs_ref[0, 0]
-        if v_bits == 4:
+            p = p * vs_ref[t, 0]
+        if int_pv and v_quantized and v_bits == 8:
+            # Integer-domain PV: requantize the (v_scale-folded) P row to
+            # int8 per q-row and contract codes-on-codes (s8s8 -> s32) —
+            # the V tile feeds the MXU as stored, deleting its f32 upcast
+            # pass. P >= 0 so round-to-nearest is the +0.5 trick; the
+            # per-row scale pa restores magnitude after the dot. The extra
+            # quant chain touches only the [G, BK] row.
+            pa = jnp.max(p, axis=-1, keepdims=True) / 127.0 + EPS
+            p8 = (p / pa + 0.5).astype(jnp.int8)
+            pvI = jax.lax.dot_general(
+                p8, v_ref[t, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            pv = pvI.astype(jnp.float32) * pa
+        elif v_bits == 4:
             # Same no-concat trick on the PV side: the output halves
             # [pv_lo | pv_hi] come from two half-width dots; the only concat
             # left is on the tiny [G, D] result.
-            p32 = v_ref[0, 0].astype(jnp.int32)  # [BK, D/2]
+            p32 = v_ref[t, 0].astype(jnp.int32)  # [BK, D/2]
             lo = jax.lax.shift_right_arithmetic(
                 jax.lax.shift_left(p32, 28), 28
             ).astype(jnp.float32)
@@ -164,19 +219,27 @@ def _decode_kernel(
                 axis=-1,
             )
         else:
-            v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+            v = v_ref[t, 0].astype(jnp.float32)  # [BK, D]
             pv = jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        acc_scr[rows] = acc_scr[rows] * alpha[:, :1] + pv
+
+
+    @pl.when(j * block_kv < length)
+    def _compute():
+        for t in range(heads_per_step):
+            _head_block(t)
 
     @pl.when(j == nj - 1)
     def _finalize():
-        l = l_scr[...][:, :1]
-        o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-        # Base-2 LSE of the local logits (rows with no valid tokens keep
-        # m = NEG_INIT -> ~-inf weight in any cross-shard merge).
-        lse_ref[0, 0] = m_scr[...][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
+        for t in range(heads_per_step):
+            rows = slice(t * gp, (t + 1) * gp)
+            l = l_scr[rows][:, :1]
+            o_ref[0, t] = (acc_scr[rows] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+            # Base-2 LSE of the local logits (rows with no valid tokens keep
+            # m = NEG_INIT -> ~-inf weight in any cross-shard merge).
+            lse_ref[0, t] = m_scr[rows][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
 
 
 def decode_attention(
@@ -200,16 +263,32 @@ def decode_attention(
     # short and long sequences stream each slot's actual pages. False only
     # for A/B measurement of the unclamped walk.
     clamp_walk: bool = True,
+    # MXU operand domain. "auto" == "int_qk": an int8 K cache feeds the MXU
+    # as stored codes (in-kernel per-row q quant, s8s8->s32 dot), deleting
+    # the whole-tile f32 K upcast pass; results stay invariant to block
+    # size/paging (the q codes are fixed per row). "int" additionally
+    # requantizes the P row to int8 for a codes-on-codes PV dot — fastest
+    # streaming but P requant error depends on the block partition, so it
+    # is opt-in. "f32": always upcast (the r2 chain).
+    compute_mode: str = "auto",
+    # KV heads processed per grid step (clamped to a divisor of hk). More
+    # heads per step = more DMA bytes per step, amortizing the fixed
+    # per-step cost that bounds small-tile streaming (r3 A/B).
+    heads_per_step: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Single-token decode attention over an int8/int4 KV cache (GQA/MQA).
 
     ``block_kv`` is the KV streaming block (and the page size when paged).
     Default: the paged path takes the cache's page size; the contiguous
-    path picks ``min(2048, ceil128(s_max))`` — within-process sweep on v5e
-    (b1 hk8 d128, 128K int8 cache): 1024 -> 401 GB/s, 2048 -> 648,
-    4096 -> 620; 2048 is also the page size serving deployments should
-    prefer when contexts allow.
+    path picks ``min(4096, ceil128(s_max))`` — within-process sweep on v5e
+    (b1 hk8 d128, 128K int8 cache, r3): 2048 -> 543 GB/s, 4096 -> **662**,
+    8192 -> 636, 6144 -> 215 (non-pow2 tiling pathology). The r2 default of
+    2048 was leaving ~20% on the table: the int8 tiles' DMA per grid step
+    was too small to hide the fixed per-step cost (bf16, with 2x the bytes
+    per step, is insensitive: 739-744 across all blocks). Long-context
+    serving deployments should prefer 4096-token pages when contexts allow;
+    at 2048-token pages decode pays ~18%.
 
     Args:
       q: ``[B, H, D]`` float — current-token queries.
@@ -234,6 +313,18 @@ def decode_attention(
     k_bits = kv_bits if k_bits is None else k_bits
     v_bits = kv_bits if v_bits is None else v_bits
     assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
+    assert compute_mode in ("auto", "int", "int_qk", "f32"), compute_mode
+    k_is_int = k_cache.dtype == jnp.int8
+    # auto: int8-K streams codes straight to the MXU; packed int4-K keeps
+    # the f32 chain (its nibble-unpack shifts already run in int32 and the
+    # int8 half-dots measured a wash-to-slight-loss — DECODE_INT_AB r3).
+    int_qk = (
+        compute_mode in ("int", "int_qk")
+        or (compute_mode == "auto" and k_bits == 8)
+    ) and k_is_int
+    int_pv = (
+        compute_mode == "int" and v_cache.dtype == jnp.int8 and v_bits == 8
+    )
     paged = page_table is not None
     if block_kv is None:
         if paged:
@@ -294,17 +385,29 @@ def decode_attention(
         )
 
         def row_index(bi, hi, ji, lens, tbl):
+            # dim0 indexes [b*hk] rows in heads_per_step-block units
             if not clamp_walk:
-                return (bi * hk + hi, tbl[bi, ji], 0, 0)
+                return (bi * (hk // hb) + hi, tbl[bi, ji], 0, 0)
             used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
             jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
-            return (bi * hk + hi, tbl[bi, jc], 0, 0)
+            return (bi * (hk // hb) + hi, tbl[bi, jc], 0, 0)
 
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = default_interpret()
     assert h % hk == 0, f"GQA requires num_q_heads ({h}) divisible by num_kv_heads ({hk})"
+    if heads_per_step is None:
+        # Auto: batch KV heads until one grid step moves ~2 MB — the point
+        # where the fixed per-step cost stops eating stream rate (measured
+        # r3, b1 hk8 d128 128K int8: bk2048 x hb4 = 678 GB/s vs the r2
+        # hb1 x bk2048 = 543; bf16 already moves 2 MB at bk4096 x hb1 and
+        # is insensitive). More than ~2 MB shows no further gain.
+        step_bytes = block_kv * (d_ck + d_cv + 8)  # codes + f32 scale rows
+        heads_per_step = cdiv(2 << 20, max(step_bytes, 1))
+    hb = max(1, min(heads_per_step, hk))
+    while hk % hb:  # round UP to the next divisor of hk (more DMA, not less)
+        hb += 1
     g = h // hk
     g_pad = max(8, cdiv(g, 8) * 8)
     qg = q.astype(jnp.float32).reshape(b, hk, g, d)
@@ -312,14 +415,14 @@ def decode_attention(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
 
     in_specs = [
-        pl.BlockSpec((1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d_ck), row_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_kv, d_cv), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, 1, block_kv, d_ck), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, 1, block_kv, d_cv), row_index, memory_space=pltpu.VMEM),
     ]
     args = [qg, k_rows, ks_rows, v_rows]
     if v_quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((hb, 1, 1, block_kv), row_index, memory_space=pltpu.VMEM))
         args.append(vs_rows)
 
     def kernel(lengths_ref, table_ref, *refs):
@@ -333,24 +436,25 @@ def decode_attention(
             o_ref, lse_ref, m_s, l_s, a_s,
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
+            int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hk, max_pages),
+        grid=(b, hk // hb, max_pages),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, 1, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, g_pad, 1), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, g_pad, 1), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((hb * g_pad, 128), jnp.float32),
+            pltpu.VMEM((hb * g_pad, 128), jnp.float32),
+            pltpu.VMEM((hb * g_pad, d), jnp.float32),
         ],
     )
 
