@@ -452,7 +452,13 @@ def lowbit_fa_qk_int4_pv_fp16(
     the VPU inside the kernel before the int8 MXU dot. Unlike the reference's
     ``forward_merging``, which drops zero-points as an approximation
     (SURVEY §"quirks"), our symmetric per-token K scales need no zero point
-    at all."""
+    at all.
+
+    Accuracy note (bench/int4_gran_probe.py, PERFORMANCE.md r3): per-token
+    scales are within ~0.005 cos of the 4-bit scalar-quantizer floor on
+    unstructured keys; for keys with channel outliers use the KIVI
+    per-channel grouped path (``ops.fused_kv.fused_packed_kv_attention``)
+    — measured 0.992 where per-token collapses to 0.86."""
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
     v = _to_hnd(v, tensor_layout)
