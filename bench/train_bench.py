@@ -16,6 +16,7 @@ Usage: timeout 550 python bench/train_bench.py [--json TRAIN_TPU.json]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -72,6 +73,8 @@ def accuracy(causal):
     for name, fn in (
         ("flash_fp", flash_attention_trainable),
         ("lowbit_int8", lowbit_attention_trainable),
+        ("lowbit_int8_fpbwd", lambda q, k, v, c: lowbit_attention_trainable(
+            q, k, v, c, None, None, None, False)),
     ):
         def loss(q, k, v):
             return jnp.sum(fn(q, k, v, causal) * g.astype(q.dtype))
@@ -98,6 +101,8 @@ def timing(causal):
     for name, fn in (
         ("flash_fp", flash_attention_trainable),
         ("lowbit_int8", lowbit_attention_trainable),
+        ("lowbit_int8_fpbwd", lambda q, k, v, c: lowbit_attention_trainable(
+            q, k, v, c, None, None, None, False)),
     ):
         fwd = jax.jit(lambda q, k, v, fn=fn: fn(q, k, v, causal))
         jax.block_until_ready(fwd(q, k, v))

@@ -181,3 +181,36 @@ def test_grads_non_multiple_seq(causal):
         assert not bool(jnp.any(jnp.isnan(a))), name
         cos = float(cosine_similarity(a, b_))
         assert cos > 0.999, (name, cos)
+
+
+def test_quantized_backward_grads():
+    """bwd_quantized=True (int8-code backward dots): grads stay ~1e-4 of
+    the oracle; the option is speed-closed on v5e (PERFORMANCE.md r3) but
+    remains the half-HBM-traffic / QAT-consistent-gradient path."""
+    import jax
+    import jax.numpy as jnp
+    from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import (
+        lowbit_attention_trainable,
+    )
+    from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    B, H, S, D = 1, 2, 256, 64
+    q, k, v, g = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16) for kk in ks)
+
+    def ref(q, k, v):
+        qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / (D ** 0.5)
+        p = jax.nn.softmax(s, -1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, vf) * g.astype(jnp.float32))
+
+    rg = jax.grad(ref, (0, 1, 2))(q, k, v)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            lowbit_attention_trainable(q, k, v, False, None, None, None, True) * g
+        )
+
+    grads = jax.jit(jax.grad(loss, (0, 1, 2)))(q, k, v)
+    for got, want in zip(grads, rg):
+        assert float(cosine_similarity(got.astype(jnp.float32), want)) > 0.9995
