@@ -52,15 +52,29 @@ def _key(kernel: str, d: int, s: int, causal: bool, device: Optional[str]) -> st
     return f"{dev}|{kernel}|d{d}|s{s}|c{int(bool(causal))}"
 
 
+def _bundled_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "tuning_defaults.json")
+
+
+def _read_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def _load() -> dict:
+    """Merged lookup view: bundled measured defaults (shipped with the
+    package, durable across machines of the same device kind) overridden
+    entry-by-entry by the user cache. The user cache FILE never absorbs
+    bundled entries — record() rewrites only user-recorded ones."""
     global _CACHE
     with _LOCK:
         if _CACHE is None:
-            try:
-                with open(cache_path()) as f:
-                    _CACHE = json.load(f)
-            except (OSError, ValueError):
-                _CACHE = {}
+            merged = _read_json(_bundled_path())
+            merged.update(_read_json(cache_path()))
+            _CACHE = merged
         return _CACHE
 
 
@@ -86,18 +100,20 @@ def record(
 ) -> str:
     """Persist a tuning entry; returns the cache path."""
     path = cache_path()
+    entry = {
+        "block_q": int(block_q),
+        "block_kv": int(block_kv),
+        "tflops": float(tflops),
+    }
     with _LOCK:
-        cache = _load()
-        cache[_key(kernel, d, s, causal, device)] = {
-            "block_q": int(block_q),
-            "block_kv": int(block_kv),
-            "tflops": float(tflops),
-        }
+        user = _read_json(path)
+        user[_key(kernel, d, s, causal, device)] = entry
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(cache, f, indent=1, sort_keys=True)
+            json.dump(user, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
+        _load()[_key(kernel, d, s, causal, device)] = entry
     return path
 
 

@@ -41,6 +41,32 @@ def test_record_lookup_roundtrip(tmp_cache):
     assert list(raw.values())[0]["tflops"] == 88.6
 
 
+def test_bundled_defaults_layer(tmp_cache, monkeypatch):
+    # A bundled entry is visible with no user cache...
+    bundled = {
+        "v5e|km|d64|s1234|c0": {"block_q": 1024, "block_kv": 256, "tflops": 1.0}
+    }
+    import lowbit_quant_fa2_paddle_tpu.utils.tuning as t
+
+    bp = tmp_cache + ".bundled"
+    with open(bp, "w") as f:
+        json.dump(bundled, f)
+    monkeypatch.setattr(t, "_bundled_path", lambda: bp)
+    tuning.clear_memory_cache()
+    assert tuning.lookup("km", 64, 1234, False, device="v5e") == (1024, 256)
+    # ...the user cache overrides it entry-by-entry...
+    tuning.record("km", 64, 1234, False, 512, 512, 2.0, device="v5e")
+    assert tuning.lookup("km", 64, 1234, False, device="v5e") == (512, 512)
+    # ...and the user cache FILE never absorbs bundled entries.
+    tuning.record("km", 64, 9999, False, 256, 256, 3.0, device="v5e")
+    with open(tmp_cache) as f:
+        raw = json.load(f)
+    assert set(raw) == {"v5e|km|d64|s1234|c0", "v5e|km|d64|s9999|c0"}
+    # bundled entry still wins for keys the user never recorded
+    tuning.clear_memory_cache()
+    assert tuning.lookup("km", 64, 1234, False, device="v5e") == (512, 512)
+
+
 def test_corrupt_cache_never_raises(tmp_cache):
     with open(tmp_cache, "w") as f:
         f.write("{not json")
