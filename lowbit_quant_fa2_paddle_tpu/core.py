@@ -137,6 +137,9 @@ def lowbit_fa_qk_int8_pv_fp16(
     return_lse: bool = False,
     *,
     smooth_q: bool = False,
+    # Causal sliding window: each q attends its previous ``window_size``
+    # keys including itself (ops/attention banded grid — O(S*W) work).
+    window_size: Optional[int] = None,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -244,6 +247,7 @@ def lowbit_fa_qk_int8_pv_fp16(
             bias=bias,
             v_mean=v_mean,
             is_causal=is_causal,
+            window_size=window_size,
             sm_scale=sm_scale,
             pv_dtype=jnp.float32 if pv_accum_dtype == "fp32+fp32" else jnp.bfloat16,
             out_dtype=v.dtype,
@@ -314,6 +318,7 @@ def lowbit_fa_qk_int8_pv_fp16(
         k_transposed=fuse_quant is not True,
         v_mean=v_mean,
         is_causal=is_causal,
+        window_size=window_size,
         sm_scale=sm_scale,
         pv_dtype=pv_dtype,
         block_q=block_q,
@@ -341,6 +346,7 @@ def lowbit_fa_qk_int8_pv_int8(
     smooth_v: bool = True,
     return_lse: bool = False,
     *,
+    window_size: Optional[int] = None,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     pv_int8: bool = False,
@@ -392,6 +398,7 @@ def lowbit_fa_qk_int8_pv_int8(
             v_scale=v_scale,
             v_mean=v_mean,
             is_causal=is_causal,
+            window_size=window_size,
             sm_scale=sm_scale,
             out_dtype=v.dtype,
             return_lse=return_lse,
@@ -413,6 +420,7 @@ def lowbit_fa_qk_int8_pv_int8(
         v_mean=v_mean,
         pv_int8=pv_int8,
         is_causal=is_causal,
+        window_size=window_size,
         sm_scale=sm_scale,
         block_q=block_q,
         block_kv=block_kv,
@@ -439,6 +447,7 @@ def lowbit_fa_qk_int4_pv_fp16(
     return_lse: bool = False,
     *,
     smooth_q: bool = False,
+    window_size: Optional[int] = None,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -502,6 +511,7 @@ def lowbit_fa_qk_int4_pv_fp16(
             bias=bias,
             k_packed_int4=True,
             is_causal=is_causal,
+            window_size=window_size,
             sm_scale=sm_scale,
             out_dtype=v.dtype,
             return_lse=return_lse,
@@ -533,6 +543,7 @@ def lowbit_fa_qk_int4_pv_fp16(
             fused_k_bits=4,
             k_mean=km,
             is_causal=is_causal,
+            window_size=window_size,
             sm_scale=sm_scale,
             block_q=block_q,
             block_kv=block_kv,
@@ -560,6 +571,7 @@ def lowbit_fa_qk_int4_pv_fp16(
         k_scale,
         fused_quant_q=fuse_quant == "q",
         is_causal=is_causal,
+        window_size=window_size,
         sm_scale=sm_scale,
         k_packed_int4=True,
         block_q=block_q,
@@ -586,6 +598,7 @@ def lowbit_fa_qk_int2_pv_fp16(
     smooth_k: bool = True,
     return_lse: bool = False,
     *,
+    window_size: Optional[int] = None,
     fuse_quant: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **kwargs,
@@ -616,7 +629,8 @@ def lowbit_fa_qk_int2_pv_fp16(
     out = lowbit_attention_km(
         q_in, k_packed, jnp.swapaxes(_pad_head_dim(v), 2, 3), q_scale, k_scale,
         fused_quant_q=fuse_q,
-        is_causal=is_causal, sm_scale=sm_scale, k_pack_bits=2,
+        is_causal=is_causal, window_size=window_size,
+        sm_scale=sm_scale, k_pack_bits=2,
         out_dtype=v.dtype, return_lse=return_lse, interpret=interpret,
     )
     if return_lse:

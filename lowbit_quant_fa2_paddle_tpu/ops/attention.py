@@ -90,21 +90,34 @@ def _unpack_int2_quarters(packed: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.concatenate(parts, axis=axis).astype(jnp.int8)
 
 
-def _tri_schedule(nq: int, nk_blocks: int, block_q: int, block_kv: int):
-    """Scalar-prefetch tables for the causal triangular grid: one entry per
-    at-or-below-diagonal (q-block, kv-block) pair plus a last-visit flag —
-    shared by both kernel schedules so the two can never desynchronize."""
-    i_list, j_list, last_list = [], [], []
+def _tri_schedule(
+    nq: int, nk_blocks: int, block_q: int, block_kv: int, window: int = 0
+):
+    """Scalar-prefetch tables for the causal triangular grid — or, with
+    ``window`` > 0 (sliding-window attention), the causal BAND: one entry
+    per (q-block, kv-block) pair that intersects the mask, plus a
+    first/last-visit flag word (bit 1 = first kv block of this q row,
+    bit 0 = last). With a band the first visited kv block of a row is no
+    longer block 0, so first-visit must travel in the table rather than be
+    inferred from ``j == 0``. Shared by both kernel schedules so the two
+    can never desynchronize. Work drops from O(S^2/2) to O(S*W)."""
+    i_list, j_list, flag_list = [], [], []
     for qi in range(nq):
         j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
-        for ki in range(j_max):
+        j_min = 0
+        if window > 0:
+            # Lowest key any q row of this block attends: q_min - window + 1.
+            j_min = max(0, (qi * block_q - window + 1) // block_kv)
+        for ki in range(j_min, j_max):
             i_list.append(qi)
             j_list.append(ki)
-            last_list.append(1 if ki == j_max - 1 else 0)
+            flag_list.append(
+                (2 if ki == j_min else 0) | (1 if ki == j_max - 1 else 0)
+            )
     return (
         jnp.asarray(np.array(i_list, np.int32)),
         jnp.asarray(np.array(j_list, np.int32)),
-        jnp.asarray(np.array(last_list, np.int32)),
+        jnp.asarray(np.array(flag_list, np.int32)),
         len(i_list),
     )
 
@@ -147,17 +160,19 @@ def _attn_kernel_rect(*refs, k_major: bool = False, **params):
     body(i, j, j == 0, j == nk - 1, refs, **params)
 
 
-def _attn_kernel_tri(i_tbl, j_tbl, last_tbl, *refs, k_major: bool = False, **params):
-    """Triangular grid for causal: grid dim 2 walks scalar-prefetched
-    (i, j) tables covering ONLY at-or-below-diagonal blocks, so causal runs
-    ~half the DMA and grid steps of the rectangular schedule (true block
+def _attn_kernel_tri(i_tbl, j_tbl, flag_tbl, *refs, k_major: bool = False, **params):
+    """Triangular/banded grid for causal (+ sliding window): grid dim 2
+    walks scalar-prefetched (i, j) tables covering ONLY mask-intersecting
+    blocks, so causal runs ~half the DMA and grid steps of the rectangular
+    schedule and a sliding window runs O(S*W) of them (true block
     skipping — the reference's STAGE-1/2 split merely early-outs compute,
     attn_qk_int8_per_block_causal.py:45-79)."""
     t = pl.program_id(2)
     i = i_tbl[t]
     j = j_tbl[t]
+    f = flag_tbl[t]
     body = _attn_body_km if k_major else _attn_body
-    body(i, j, j == 0, last_tbl[t] == 1, refs, **params)
+    body(i, j, (f & 2) != 0, (f & 1) != 0, refs, **params)
 
 
 def _attn_body_km(
@@ -171,6 +186,7 @@ def _attn_body_km(
     block_q: int,
     block_kv: int,
     causal: bool,
+    window: int = 0,
     quantized_qk: bool,
     fused_quant_q: bool = False,
     k_pack_bits: int,
@@ -266,6 +282,12 @@ def _attn_body_km(
 
     if causal:
         should_run = j * block_kv <= i * block_q + block_q - 1
+        if window > 0:
+            # Sliding window: blocks entirely below the band are skipped too
+            # (rect-grid predication; the tri grid skips them in the table).
+            should_run = jnp.logical_and(
+                should_run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+            )
     else:
         should_run = True
 
@@ -339,6 +361,10 @@ def _attn_body_km(
                 kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
                 qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
                 mask = kvrow <= qcol
+                if window > 0:
+                    # q attends keys in (q - window, q] — Mistral-class
+                    # sliding window, window tokens including self.
+                    mask = jnp.logical_and(mask, kvrow + window > qcol)
             if masked and kv_edge:
                 # [BK, 1] column predicate — broadcasts over q lanes, so the
                 # edge block pays a vector (not tile) iota+compare.
@@ -412,6 +438,11 @@ def _attn_body_km(
                 # Mask needed iff the block straddles the diagonal: its
                 # largest kv row exceeds its smallest q column.
                 dyn = j * block_kv + block_kv - 1 > i * block_q
+                if window > 0:
+                    # ...or straddles the band's lower edge: some (q, kv)
+                    # pair in the block is window or more apart.
+                    low = i * block_q + block_q - 1 - j * block_kv >= window
+                    dyn = jnp.logical_or(dyn, low)
             if kv_edge:
                 e = j == cdiv(kv_len, block_kv) - 1
                 dyn = e if dyn is None else jnp.logical_or(dyn, e)
@@ -461,6 +492,7 @@ def _attn_body(
     block_q: int,
     block_kv: int,
     causal: bool,
+    window: int = 0,
     tri: bool = False,
     static_max: bool = False,
     quantized_qk: bool,
@@ -544,6 +576,10 @@ def _attn_body(
     if causal and not tri:
         # Rect fallback: skip blocks above the diagonal via predication.
         should_run = j * block_kv <= i * block_q + block_q - 1
+        if window > 0:
+            should_run = jnp.logical_and(
+                should_run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+            )
     else:
         should_run = True
 
@@ -628,6 +664,9 @@ def _attn_body(
                 row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
                 mask = col <= row
+                if window > 0:
+                    # Sliding window: q attends keys in (q - window, q].
+                    mask = jnp.logical_and(mask, col + window > row)
             if masked and kv_edge:
                 # [1, BK] row predicate — broadcasts over q rows, so the
                 # edge block pays a vector (not tile) iota+compare.
@@ -711,6 +750,9 @@ def _attn_body(
             if mask_split:
                 if causal:
                     dyn = j * block_kv + block_kv - 1 > i * block_q
+                    if window > 0:
+                        low = i * block_q + block_q - 1 - j * block_kv >= window
+                        dyn = jnp.logical_or(dyn, low)
                 if kv_edge:
                     e = j == cdiv(kv_len, block_kv) - 1
                     dyn = e if dyn is None else jnp.logical_or(dyn, e)
@@ -779,6 +821,14 @@ def lowbit_attention(
     # quant_int8(layout="ds")) — skips the whole-tensor XLA int8 transpose
     # between quant and attention.
     k_transposed: bool = False,
+    # Sliding-window (local causal) attention: each q attends the previous
+    # ``window_size`` keys including itself — positions in (q - W, q].
+    # Requires ``is_causal``; the triangular grid narrows to the band, so
+    # work is O(S*W) not O(S^2/2). With varlen segments the window applies
+    # to packed positions, which equal within-segment distances for
+    # contiguously packed segments. (Beyond the reference — its kernels
+    # have no local-attention mode.)
+    window_size: Optional[int] = None,
     logit_cap: float = 0.0,
     static_max: bool = False,
     # int8 P@V is opt-in: on v5e the [BQ,BK] p-requantization pass costs
@@ -895,12 +945,20 @@ def lowbit_attention(
     if k_scale is not None:
         k_scale = k_scale.astype(jnp.float32)
 
+    window = 0
+    if window_size is not None:
+        assert is_causal, "window_size requires is_causal (causal sliding window)"
+        assert window_size >= 1
+        window = int(window_size) if window_size < s_k else 0  # full-seq: no-op
+
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and v.dtype != jnp.int8
     # Triangular (true block-skip) schedule for causal; rectangular otherwise.
     tri = bool(is_causal) and nq > 1
     if tri:
-        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(nq, nk_blocks, block_q, block_kv)
+        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
+            nq, nk_blocks, block_q, block_kv, window
+        )
         grid = (b, h, n_steps)
         IM = _im_tri
     else:
@@ -1001,6 +1059,7 @@ def lowbit_attention(
         block_q=block_q,
         block_kv=block_kv,
         causal=is_causal,
+        window=window,
         tri=tri,
         static_max=static_max,
         quantized_qk=quantized_qk,
@@ -1024,6 +1083,9 @@ def lowbit_attention(
     # Causal halves the average work per kv row; reflect it in the cost
     # estimate so XLA schedules neighbours sensibly.
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
+    if window:
+        # Banded grid visits ~window+block_kv keys per q row, not s_k/2.
+        flops = int(flops * min(1.0, (window + block_kv) / max(1, s_k) * 2.0))
     cost = pl.CostEstimate(
         flops=int(flops),
         bytes_accessed=int(
@@ -1095,6 +1157,8 @@ def lowbit_attention_km(
     kv_segment_ids: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     is_causal: bool = False,
+    # Sliding-window (local causal) attention — see ``lowbit_attention``.
+    window_size: Optional[int] = None,
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
@@ -1214,11 +1278,19 @@ def lowbit_attention_km(
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
         k_scale = k_scale.astype(jnp.float32)
 
+    window = 0
+    if window_size is not None:
+        assert is_causal, "window_size requires is_causal (causal sliding window)"
+        assert window_size >= 1
+        window = int(window_size) if window_size < s_k else 0  # full-seq: no-op
+
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and vT.dtype != jnp.int8
     tri = bool(is_causal) and nq > 1
     if tri:
-        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(nq, nk_blocks, block_q, block_kv)
+        i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
+            nq, nk_blocks, block_q, block_kv, window
+        )
         grid = (b, h, n_steps)
         IM = _im_tri
     else:
@@ -1301,6 +1373,7 @@ def lowbit_attention_km(
         block_q=block_q,
         block_kv=block_kv,
         causal=is_causal,
+        window=window,
         quantized_qk=quantized_qk,
         fused_quant_q=fused_quant_q,
         k_pack_bits=k_pack_bits,
@@ -1319,6 +1392,9 @@ def lowbit_attention_km(
         mask_split=bool(mask_split),
     )
     flops = 4 * b * h * (nq * block_q) * (nk_blocks * block_kv) * d * (0.5 if is_causal else 1.0)
+    if window:
+        # Banded grid visits ~window+block_kv keys per q row, not s_k/2.
+        flops = int(flops * min(1.0, (window + block_kv) / max(1, s_k) * 2.0))
     cost = pl.CostEstimate(
         flops=int(flops),
         bytes_accessed=int(
@@ -1372,6 +1448,7 @@ def flash_attention_fp(
     v: jax.Array,
     *,
     is_causal: bool = False,
+    window_size: Optional[int] = None,
     sm_scale: Optional[float] = None,
     schedule: str = "auto",
     block_q: Optional[int] = None,
@@ -1398,6 +1475,7 @@ def flash_attention_fp(
             None,
             None,
             is_causal=is_causal,
+            window_size=window_size,
             sm_scale=sm_scale,
             block_q=block_q,
             block_kv=block_kv,
@@ -1415,6 +1493,7 @@ def flash_attention_fp(
         None,
         None,
         is_causal=is_causal,
+        window_size=window_size,
         sm_scale=sm_scale,
         block_q=block_q if block_q is not None else 1024,
         block_kv=block_kv if block_kv is not None else 1024,

@@ -34,6 +34,7 @@ def attention_reference(
     v: jax.Array,
     *,
     is_causal: bool = False,
+    window_size: Optional[int] = None,
     sm_scale: Optional[float] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
@@ -76,6 +77,9 @@ def attention_reference(
         row = jnp.arange(s_q)[:, None]
         col = jnp.arange(s_k)[None, :]
         mask = col <= row  # [Sq, Sk]
+        if window_size is not None:
+            # Sliding window: q attends keys in (q - W, q], W incl. self.
+            mask = jnp.logical_and(mask, col + window_size > row)
         mask = mask[None, None]
     if q_segment_ids is not None:
         assert kv_segment_ids is not None

@@ -1,0 +1,152 @@
+"""Sliding-window (local causal) attention — banded block-skip grid.
+
+Oracle-checked over both kernel schedules, the quantized wrappers, GQA,
+varlen segments, LSE, and non-block-multiple shapes. Beyond the reference
+(its kernels have no local-attention mode); semantics match Mistral-class
+sliding windows: q attends keys in (q - W, q].
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lowbit_quant_fa2_paddle_tpu as lq
+from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+    _tri_schedule,
+    flash_attention_fp,
+)
+from lowbit_quant_fa2_paddle_tpu.ops.metrics import cosine_similarity
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
+
+
+def _qkv(b=1, h=2, s=1024, d=64, hk=None, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    hk = hk or h
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hk, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hk, s, d), jnp.float32)
+    return q, k, v
+
+
+def _cos(o, ref):
+    return float(cosine_similarity(o.astype(jnp.float32), ref))
+
+
+# ---------------------------------------------------------------------------
+# Schedule-table invariants (pure host logic)
+# ---------------------------------------------------------------------------
+
+
+def test_band_schedule_tables():
+    # Full causal: same triangular count as before, first flag iff j == 0.
+    i_t, j_t, f_t, n = _tri_schedule(4, 4, 256, 256, 0)
+    i_t, j_t, f_t = np.asarray(i_t), np.asarray(j_t), np.asarray(f_t)
+    assert n == 4 + 3 + 2 + 1 + 0 + (0)  # qi row qi+1 blocks: 1+2+3+4 = 10
+    assert n == 10
+    assert all((f & 2) != 0 for f, j in zip(f_t, j_t) if j == 0)
+    # Banded: rows beyond the window skip leading blocks entirely.
+    i_b, j_b, f_b, nb = _tri_schedule(4, 4, 256, 256, 256)
+    i_b, j_b, f_b = np.asarray(i_b), np.asarray(j_b), np.asarray(f_b)
+    assert nb < n
+    for qi in range(4):
+        js = j_b[i_b == qi]
+        fs = f_b[i_b == qi]
+        # Lowest key attended by row qi: qi*256 - 255 -> block (qi*256-255)//256
+        assert js[0] == max(0, (qi * 256 - 255) // 256)
+        assert js[-1] == qi
+        assert (fs[0] & 2) != 0 and (fs[-1] & 1) != 0
+        assert all((f & 2) == 0 for f in fs[1:])
+        assert all((f & 1) == 0 for f in fs[:-1])
+    # window=1 (attend self only): exactly the diagonal blocks survive.
+    i_s, j_s, _, ns = _tri_schedule(8, 8, 128, 128, 1)
+    assert ns == 8 and all(np.asarray(i_s) == np.asarray(j_s))
+
+
+# ---------------------------------------------------------------------------
+# Kernel vs oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("schedule", ["k", "q"])
+@pytest.mark.parametrize(
+    "s,w,bq,bk",
+    [
+        (1024, 256, 256, 256),  # band skips blocks
+        (1000, 100, 256, 128),  # non-block-multiple length + small window
+        (512, 1, 128, 128),     # degenerate: attend self only
+        (768, 2000, 256, 256),  # window >= seq: plain causal
+    ],
+)
+def test_fp_window_vs_oracle(schedule, s, w, bq, bk):
+    q, k, v = _qkv(s=s)
+    ref = attention_reference(q, k, v, is_causal=True, window_size=w)
+    o = flash_attention_fp(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        is_causal=True, window_size=w, schedule=schedule, block_q=bq, block_kv=bk,
+    )
+    assert _cos(o, ref) > 0.999
+
+
+def test_window_matches_full_causal_when_large():
+    q, k, v = _qkv(s=640)
+    a = flash_attention_fp(q, k, v, is_causal=True, window_size=10_000,
+                           block_q=256, block_kv=256)
+    b = flash_attention_fp(q, k, v, is_causal=True, block_q=256, block_kv=256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("bits", ["int8", "int8_v8", "int4", "int2"])
+def test_quantized_window_vs_oracle(bits):
+    q, k, v = _qkv(s=1024)
+    ref = attention_reference(q, k, v, is_causal=True, window_size=320)
+    o = lq.lowbit_fa_attn(q, k, v, bits=bits, is_causal=True, window_size=320)
+    floor = {"int8": 0.999, "int8_v8": 0.998, "int4": 0.98, "int2": 0.85}[bits]
+    assert _cos(o, ref) > floor
+
+
+def test_window_gqa():
+    q, k, v = _qkv(h=8, hk=2, s=512)
+    ref = attention_reference(q, k, v, is_causal=True, window_size=200)
+    o = lq.lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=True, window_size=200)
+    assert _cos(o, ref) > 0.999
+
+
+def test_window_lse():
+    q, k, v = _qkv(s=512)
+    ref, lse_ref = attention_reference(
+        q, k, v, is_causal=True, window_size=128, return_lse=True
+    )
+    o, lse = lq.lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=True, window_size=128, return_lse=True
+    )
+    assert _cos(o, ref) > 0.999
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=0.02)
+
+
+def test_window_varlen_segments():
+    # Packed segments [0]*300 + [1]*212; window applies within segments
+    # (contiguous packing => packed distance == within-segment distance).
+    s, w = 512, 64
+    q, k, v = _qkv(s=s)
+    seg = jnp.concatenate([jnp.zeros(300, jnp.int32), jnp.ones(212, jnp.int32)])
+    seg = seg[None, :]
+    ref = attention_reference(
+        q, k, v, is_causal=True, window_size=w,
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import lowbit_attention
+
+    o = lowbit_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        is_causal=True, window_size=w,
+        q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=128, block_kv=128,
+    )
+    assert _cos(o, ref) > 0.999
+
+
+def test_window_requires_causal():
+    q, k, v = _qkv(s=256)
+    with pytest.raises(AssertionError):
+        flash_attention_fp(q, k, v, is_causal=False, window_size=64)
