@@ -78,6 +78,7 @@ def _decode_kernel(
     int_qk: bool = False,
     int_pv: bool = False,
     heads_per_step: int = 1,
+    window: int = 0,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -96,6 +97,10 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lengths_ref[b]
+    # Sliding window at decode: attend only the last `window` cache rows
+    # (pos in [length - window, length)). Leading blocks are predicated off
+    # below and their DMAs clamped away in the launcher's index maps.
+    start = jnp.maximum(length - window, 0) if window > 0 else None
 
     def _head_block(t):
         rows = slice(t * gp, (t + 1) * gp)
@@ -164,7 +169,10 @@ def _decode_kernel(
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = s * LOG2E
         pos = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        valid = pos < length
+        if start is not None:
+            valid = jnp.logical_and(valid, pos >= start)
+        s = jnp.where(valid, s, MASK_VALUE)
 
         m_prev = m_scr[rows]
         l_prev = l_scr[rows]
@@ -226,7 +234,11 @@ def _decode_kernel(
         acc_scr[rows] = acc_scr[rows] * alpha[:, :1] + pv
 
 
-    @pl.when(j * block_kv < length)
+    live = j * block_kv < length
+    if start is not None:
+        live = jnp.logical_and(live, j * block_kv + block_kv > start)
+
+    @pl.when(live)
     def _compute():
         for t in range(heads_per_step):
             _head_block(t)
@@ -257,6 +269,12 @@ def decode_attention(
     kv_bits: int = 8,
     k_bits: Optional[int] = None,
     v_bits: Optional[int] = None,
+    # Sliding window: attend only the last `window_size` cache rows of each
+    # sequence (matches the prefill kernels' window semantics). Blocks
+    # entirely below the window are predicated off AND their page DMAs are
+    # clamped away, so decode streams O(window) bytes per token regardless
+    # of context length.
+    window_size: Optional[int] = None,
     return_lse: bool = False,
     # Clamp the KV page walk to each sequence's pages-in-use so grid steps
     # past the length re-use the same block (no DMA issued) — batches mixing
@@ -325,6 +343,8 @@ def decode_attention(
     int_pv = (
         compute_mode == "int" and v_cache.dtype == jnp.int8 and v_bits == 8
     )
+    window = int(window_size) if window_size else 0
+    assert window >= 0
     paged = page_table is not None
     if block_kv is None:
         if paged:
@@ -360,6 +380,12 @@ def decode_attention(
                 return (hi, tbl[bi, ji], 0, 0)
             used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
             jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
+            if window:
+                # Below-window steps reuse the first in-window page: their
+                # compute is predicated off, and the repeated index lets
+                # Mosaic skip the DMA entirely.
+                j_lo = jnp.maximum(lens[bi] - window, 0) // block_kv
+                jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
             return (hi, tbl[bi, jc], 0, 0)
     else:
         _, hk, s_max, _ = k_cache.shape
@@ -390,6 +416,9 @@ def decode_attention(
                 return (bi * (hk // hb) + hi, tbl[bi, ji], 0, 0)
             used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
             jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
+            if window:
+                j_lo = jnp.maximum(lens[bi] - window, 0) // block_kv
+                jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
             return (bi * (hk // hb) + hi, tbl[bi, jc], 0, 0)
 
     if sm_scale is None:
@@ -437,6 +466,7 @@ def decode_attention(
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
             int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
+            window=window,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

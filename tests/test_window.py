@@ -150,3 +150,98 @@ def test_window_requires_causal():
     q, k, v = _qkv(s=256)
     with pytest.raises(AssertionError):
         flash_attention_fp(q, k, v, is_causal=False, window_size=64)
+
+
+# ---------------------------------------------------------------------------
+# Windowed decode (rolling KV window over the quantized cache)
+# ---------------------------------------------------------------------------
+
+
+def _decode_ref_windowed(q, k, v, lengths, w):
+    b, h, d = q.shape
+    outs = []
+    for i in range(b):
+        L = int(lengths[i])
+        lo = max(0, L - w)
+        o = attention_reference(
+            q[i : i + 1].reshape(1, h, 1, d),
+            k[i : i + 1, :, lo:L],
+            v[i : i + 1, :, lo:L],
+        )
+        outs.append(o[:, :, 0])
+    return jnp.concatenate(outs, axis=0)
+
+
+@pytest.mark.parametrize("lengths,w", [([512, 512], 128), ([300, 170], 200)])
+def test_decode_window_contiguous(lengths, w):
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, h, hk, s, d = 2, 8, 2, 512, 64
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array(lengths, jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    o = dec.decode_attention(
+        q, kc, vc, ksc, lengths, v_scale=vsc, window_size=w, block_kv=128
+    )
+    ref = _decode_ref_windowed(q, k, v, lengths, w)
+    assert _cos(o, ref) > 0.999
+
+
+def test_decode_window_paged():
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    b, h, hk, s, d, page = 2, 4, 2, 512, 64, 128
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array([512, 384], jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    # Build a shuffled paged layout: logical page p of seq i -> physical pid.
+    n_log = s // page
+    perm = np.random.RandomState(0).permutation(b * n_log)
+    table = perm.reshape(b, n_log).astype(np.int32)
+    kp = np.zeros((hk, b * n_log, page, d), np.int8)
+    vp = np.zeros((hk, b * n_log, page, d), np.int8)
+    ksp = np.zeros((hk, b * n_log, page), np.float32)
+    vsp = np.zeros((hk, b * n_log, page), np.float32)
+    for i in range(b):
+        for p in range(n_log):
+            pid = table[i, p]
+            rows = slice(p * page, (p + 1) * page)
+            kp[:, pid] = np.asarray(kc)[i, :, rows]
+            vp[:, pid] = np.asarray(vc)[i, :, rows]
+            ksp[:, pid] = np.asarray(ksc)[i, :, rows]
+            vsp[:, pid] = np.asarray(vsc)[i, :, rows]
+    o = dec.decode_attention(
+        q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(ksp), lengths,
+        v_scale=jnp.asarray(vsp), page_table=jnp.asarray(table),
+        window_size=150,
+    )
+    ref = _decode_ref_windowed(q, k, v, lengths, 150)
+    assert _cos(o, ref) > 0.999
+
+
+def test_decode_window_noop_when_large():
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, h, hk, s, d = 1, 4, 2, 256, 64
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array([256], jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    a = dec.decode_attention(q, kc, v.astype(jnp.bfloat16), ksc, lengths,
+                             window_size=10_000, block_kv=128)
+    full = dec.decode_attention(q, kc, v.astype(jnp.bfloat16), ksc, lengths,
+                                block_kv=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(full), rtol=0, atol=0)
