@@ -43,6 +43,11 @@ class LLMConfig:
     # int8 measured 2.13x over dense at decode shapes, int4 1.56x at
     # quarter memory). Apply with :func:`quantize_llm_params`.
     w_bits: Optional[int] = None
+    # Sliding-window attention (Mistral-class): each position attends its
+    # previous `window_size` tokens including itself, at prefill (banded
+    # block-skip kernel grid) and decode (rolling KV window — the decode
+    # kernel streams O(window) bytes per token). None = full causal.
+    window_size: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -136,13 +141,15 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attn_prefill(q, k, v, attn_impl: str, interpret):
+def _attn_prefill(q, k, v, attn_impl: str, interpret, window=None):
     if attn_impl == "int8":
-        return lowbit_fa_qk_int8_pv_fp16(q, k, v, is_causal=True, interpret=interpret)
-    return attention_reference(q, k, v, is_causal=True)
+        return lowbit_fa_qk_int8_pv_fp16(
+            q, k, v, is_causal=True, window_size=window, interpret=interpret
+        )
+    return attention_reference(q, k, v, is_causal=True, window_size=window)
 
 
-def _attn_prefill_km(q, k, v, interpret):
+def _attn_prefill_km(q, k, v, interpret, window=None):
     """Transposed-space prefill attention: Q quantized in-kernel from its
     natural (RoPE'd) layout, K codes quantized in natural layout (needed
     natural for the cache anyway), O^T returned for the caller to contract
@@ -159,6 +166,7 @@ def _attn_prefill_km(q, k, v, interpret):
         k_scale=ksc,
         fused_quant_q=True,
         is_causal=True,
+        window_size=window,
         out_dtype=v.dtype,
         interpret=interpret,
     )  # [B, H, hd, S]
@@ -187,13 +195,13 @@ def llm_prefill(
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         if attn_impl == "int8_t" and isinstance(blk["wo"], jax.Array) and hd % 64 == 0:
-            oT = _attn_prefill_km(q, k, v, interpret)
+            oT = _attn_prefill_km(q, k, v, interpret, window=cfg.window_size)
             x = x + jnp.einsum(
                 "bhds,hde->bse", oT.astype(x.dtype), blk["wo"].reshape(h, hd, -1)
             )
         else:
             impl = "int8" if attn_impl == "int8_t" else attn_impl
-            o = _attn_prefill(q, k, v, impl, interpret)
+            o = _attn_prefill(q, k, v, impl, interpret, window=cfg.window_size)
             x = x + _mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = _rms_norm(x, blk["ln2"])
         x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
@@ -245,6 +253,7 @@ def llm_decode_step(
             cache["length"],
             v_scale=cache["v_scale"],
             kv_bits=cfg.kv_bits,
+            window_size=cfg.window_size,
             interpret=interpret,
         )  # [B,H,D]
         x = x + _mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)

@@ -280,7 +280,7 @@ def _prefill_forward(
         v = L._mm(xa, blk["wv"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
         q = L._rope(q, pos, cfg.rope_theta)
         k = L._rope(k, pos, cfg.rope_theta)
-        o = L._attn_prefill(q, k, v, "int8", interpret)
+        o = L._attn_prefill(q, k, v, "int8", interpret, window=cfg.window_size)
         x = x + L._mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = L._rms_norm(x, blk["ln2"])
         x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
@@ -347,6 +347,7 @@ def _decode_step(
             page_table=page_table,
             kv_bits=kv_bits,
             block_kv=page_size,
+            window_size=cfg.window_size,
             interpret=interpret,
         )  # [B,H,D]
         x = x + L._mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)
@@ -426,8 +427,14 @@ class ServingEngine:
             scfg.num_pages, scfg.page_size, scfg.max_batch,
             lazy=scfg.admission == "lazy",
         )
+        # Sliding-window models disable prefix caching: the chunked-prefill
+        # LSE merge computes FULL cross-attention over cached prefix pages,
+        # which would break the (q - W, q] window semantics at the chunk
+        # boundary. (Rolling-window page reclamation is the future fix.)
         self.prefix_cache = (
-            PrefixCache(self.sched, scfg.page_size) if scfg.prefix_caching else None
+            PrefixCache(self.sched, scfg.page_size)
+            if scfg.prefix_caching and cfg.window_size is None
+            else None
         )
         self._shared: Dict[int, int] = {}  # rid -> shared page count
         self.caches = _empty_paged_caches(cfg, scfg)

@@ -229,6 +229,53 @@ def test_decode_window_paged():
     assert _cos(o, ref) > 0.999
 
 
+def test_llm_windowed_decode_matches_windowed_prefill():
+    """Sliding-window LLM: decoding token s+1 via the rolling-window cache
+    must match prefilling s+1 tokens through the banded prefill kernel —
+    the same window semantics at both phases."""
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.tiny_llm_config(max_seq=64, window_size=8)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    logits, caches = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    nxt = jnp.argmax(logits[:, -1], -1)
+    lo_dec, _ = llm.llm_decode_step(params, nxt, caches, cfg)
+    full = jnp.concatenate([prompt, nxt[:, None]], axis=1)
+    lo_full, _ = llm.llm_prefill(params, full, cfg, attn_impl="exact")
+    cos = jnp.sum(lo_dec * lo_full[:, -1]) / (
+        jnp.linalg.norm(lo_dec) * jnp.linalg.norm(lo_full[:, -1])
+    )
+    assert float(cos) > 0.999
+    # ...and differs from the un-windowed model (the window is active).
+    cfg_full = llm.tiny_llm_config(max_seq=64)
+    lo_nf, _ = llm.llm_prefill(params, full, cfg_full, attn_impl="exact")
+    assert not np.allclose(np.asarray(lo_full), np.asarray(lo_nf))
+
+
+def test_serving_windowed_matches_contiguous_generate():
+    """Sliding-window serving engine == the contiguous-cache windowed
+    oracle (models.llm.generate with the same cfg) — window semantics agree
+    across the paged serving decode and the plain decode path."""
+    from lowbit_quant_fa2_paddle_tpu.models import llm as L
+    from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+    cfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2,
+        max_seq=64, window_size=6,
+    )
+    params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt, max_new = [5, 11, 3, 7, 2, 9, 14, 1], 6
+    ref = L.generate(params, jnp.asarray([prompt]), max_new, cfg)
+    eng = ServingEngine(
+        params, cfg, ServingConfig(page_size=8, num_pages=16, max_batch=2)
+    )
+    assert eng.prefix_cache is None  # windowed models disable prefix cache
+    rid = eng.add_request(prompt, max_new)
+    got = eng.run()[rid]
+    assert got == list(np.asarray(ref[0])), (got, np.asarray(ref[0]))
+
+
 def test_decode_window_noop_when_large():
     from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
     from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
