@@ -38,7 +38,8 @@ from lowbit_quant_fa2_paddle_tpu.utils import tuning
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
-                   block_q, block_kv, causal, scale2, quantized=False):
+                   block_q, block_kv, causal, scale2, quantized=False,
+                   window=0):
     if quantized:
         qs_ref, ks_ref, vs_ref, dos_ref, dq_ref, acc = refs
     else:
@@ -51,6 +52,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
         acc[...] = jnp.zeros_like(acc)
 
     run = True if not causal else j * block_kv <= i * block_q + block_q - 1
+    if causal and window > 0:
+        # Sliding window: skip blocks entirely below the causal band.
+        run = jnp.logical_and(
+            run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+        )
 
     @pl.when(run)
     def _():
@@ -73,7 +79,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0) + i * block_q
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
-            s2 = jnp.where(col <= row, s2, MASK_VALUE)
+            keep = col <= row
+            if window > 0:
+                keep = jnp.logical_and(keep, col + window > row)
+            s2 = jnp.where(keep, s2, MASK_VALUE)
         p = jnp.exp2(s2 - lse_ref[0, 0])  # [BQ, BK]; lse col [BQ,1]
         # dO @ V^T on the native bf16 operands (f32 accum via preferred
         # type; upcasting to f32 first measured a wash — Mosaic runs the
@@ -105,7 +114,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
                     block_q, block_kv, causal, scale2, nq_blocks,
-                    quantized=False):
+                    quantized=False, window=0):
     if quantized:
         qs_ref, ks_ref, vs_ref, dos_ref, dk_ref, dv_ref, acc_dk, acc_dv = refs
     else:
@@ -122,6 +131,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
         acc_dv[...] = jnp.zeros_like(acc_dv)
 
     run = True if not causal else j * block_kv <= i * block_q + block_q - 1
+    if causal and window > 0:
+        run = jnp.logical_and(
+            run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+        )
 
     @pl.when(run)
     def _():
@@ -139,7 +152,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0) + i * block_q
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_kv
-            s2 = jnp.where(col <= row, s2, MASK_VALUE)
+            keep = col <= row
+            if window > 0:
+                keep = jnp.logical_and(keep, col + window > row)
+            s2 = jnp.where(keep, s2, MASK_VALUE)
         p = jnp.exp2(s2 - lse_ref[0, 0])
         do = do_ref[0, 0]  # bf16 (or int8 codes when quantized)
         if quantized:
@@ -179,7 +195,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
 
 
 def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
-               block_q=None, block_kv=None, interpret=None, quantized=False):
+               block_q=None, block_kv=None, interpret=None, quantized=False,
+               window=0):
     b, h, s_q, d = q.shape
     hk, s_k = k.shape[1], k.shape[2]
     assert h % hk == 0, (h, hk)
@@ -270,7 +287,8 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_q=block_q, block_kv=block_kv,
-                          causal=is_causal, scale2=scale2, quantized=quantized),
+                          causal=is_causal, scale2=scale2, quantized=quantized,
+                          window=window),
         grid=(b, h, nq, nk),
         in_specs=dq_in_specs,
         out_specs=qspec(dq_im),
@@ -303,7 +321,7 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, block_kv=block_kv,
                           causal=is_causal, scale2=scale2, nq_blocks=nq,
-                          quantized=quantized),
+                          quantized=quantized, window=window),
         grid=(b, hk, nk, g * nq),
         in_specs=kv_in_specs,
         out_specs=[kspec(kv_kim), kspec(kv_kim)],
@@ -327,18 +345,22 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
-                              block_q=None, block_kv=None):
+                              block_q=None, block_kv=None, window_size=None):
     """Differentiable Pallas flash attention (bf16/f32). Forward routes
     ``flash_attention_fp``; GQA supported end-to-end (dk/dv accumulate the
     whole q-head group in-kernel — no [B,H,S,D]-sized dk materialization
-    followed by a host-side group-sum)."""
-    o, _ = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    followed by a host-side group-sum). ``window_size`` trains sliding-
+    window models: the banded forward grid and the band-predicated backward
+    see the same (q - W, q] mask."""
+    o, _ = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                           window_size)
     return o
 
 
-def _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv):
+def _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                    window_size=None):
     # Forward routes the production K-major schedule with its tuned blocks
     # (on-chip: 3.4 ms vs 7.2 Q-major at b4 h16 s4096 d64 — the trainable
     # path's fwd was 2.1x slow until this). block_q/block_kv only shape the
@@ -347,17 +369,20 @@ def _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     o, lse2 = flash_attention_fp(
-        q, k, v, is_causal=is_causal, sm_scale=sm_scale, return_lse=True,
+        q, k, v, is_causal=is_causal, window_size=window_size,
+        sm_scale=sm_scale, return_lse=True,
     )
     return o.astype(q.dtype), lse2
 
 
-def _flash_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv):
-    o, lse2 = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+def _flash_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv, window_size):
+    o, lse2 = _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                              window_size)
     return o, (q, k, v, o, lse2)
 
 
-def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
+def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, window_size,
+                    res, do):
     q, k, v, o, lse2 = res
     d = q.shape[-1]
     if sm_scale is None:
@@ -367,6 +392,7 @@ def _flash_bwd_rule(is_causal, sm_scale, block_q, block_kv, res, do):
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_kv=block_kv,
+        window=int(window_size) if window_size else 0,
     )
     return dq, dk, dv
 
@@ -379,10 +405,10 @@ flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd_rule)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def lowbit_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
                                block_q=None, block_kv=None,
-                               bwd_quantized=False):
+                               bwd_quantized=False, window_size=None):
     """Differentiable INT8-QK attention (quantization-aware training style).
 
     Forward is the production int8 path (per-token quant + smooth-K through
@@ -406,28 +432,33 @@ def lowbit_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
     is already corrected back to unshifted-logit convention
     (core._finish_lse), so the backward sees a consistent softmax.
     """
-    o, _ = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+    o, _ = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                            window_size)
     return o
 
 
-def _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv):
+def _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                     window_size=None):
     # Local import: core -> ops.attention; this module is imported by tests
     # and models independently of core.
     from lowbit_quant_fa2_paddle_tpu.core import lowbit_fa_qk_int8_pv_fp16
 
     o, lse = lowbit_fa_qk_int8_pv_fp16(
-        q, k, v, is_causal=is_causal, sm_scale=sm_scale, return_lse=True,
+        q, k, v, is_causal=is_causal, window_size=window_size,
+        sm_scale=sm_scale, return_lse=True,
     )
     return o.astype(q.dtype), lse  # lse: natural log, unshifted convention
 
 
-def _lowbit_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv, bwd_quantized):
-    o, lse = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv)
+def _lowbit_fwd(q, k, v, is_causal, sm_scale, block_q, block_kv, bwd_quantized,
+                window_size):
+    o, lse = _lowbit_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
+                              window_size)
     return o, (q, k, v, o, lse)
 
 
 def _lowbit_bwd_rule(is_causal, sm_scale, block_q, block_kv, bwd_quantized,
-                     res, do):
+                     window_size, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     if sm_scale is None:
@@ -437,6 +468,7 @@ def _lowbit_bwd_rule(is_causal, sm_scale, block_q, block_kv, bwd_quantized,
     dq, dk, dv = _flash_bwd(
         q, k, v, o, lse2, do, is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_kv=block_kv, quantized=bwd_quantized,
+        window=int(window_size) if window_size else 0,
     )
     return dq, dk, dv
 

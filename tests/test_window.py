@@ -253,6 +253,30 @@ def test_llm_windowed_decode_matches_windowed_prefill():
     assert not np.allclose(np.asarray(lo_full), np.asarray(lo_nf))
 
 
+def test_window_training_grads_match_oracle():
+    """Windowed trainable attention: grads vs autodiff of the exact oracle
+    with the same band mask (fwd + bwd must agree on the window)."""
+    from lowbit_quant_fa2_paddle_tpu.ops.attention_bwd import (
+        flash_attention_trainable,
+    )
+
+    q, k, v = _qkv(s=512, h=4)
+    w = 96
+
+    def loss_kernel(q, k, v):
+        o = flash_attention_trainable(q, k, v, True, None, 128, 128, w)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, is_causal=True, window_size=w)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk_ = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr_ = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk_, gr_):
+        assert _cos(a, b) > 0.9999
+
+
 def test_serving_windowed_matches_contiguous_generate():
     """Sliding-window serving engine == the contiguous-cache windowed
     oracle (models.llm.generate with the same cfg) — window semantics agree
