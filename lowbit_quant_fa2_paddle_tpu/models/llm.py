@@ -286,3 +286,142 @@ def generate(
         token = jnp.argmax(logits, axis=-1)
         out.append(token)
     return jnp.stack(out, axis=1)
+
+
+def llm_verify_step(
+    params: Params,
+    tokens: jax.Array,  # [B, T] — last accepted token followed by drafts
+    caches: list,
+    cfg: LLMConfig,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, list]:
+    """Speculative-verify step: feed T tokens at once through the
+    quantized-cache MULTI-TOKEN decode kernel (ops/decode.py q_tokens — the
+    T queries ride the kernel's sublane row dim, so verification streams
+    the cache once at single-token cost) and return the logits of every
+    fed token's successor, ``[B, T, vocab]``.
+
+    Appends all T tokens' quantized K/V to the caches (lengths += T);
+    on partial acceptance the caller rolls lengths back with
+    :func:`rollback_caches` — the over-appended rows are simply
+    overwritten by the next append (every kernel masks ``pos < length``).
+    Beyond the reference (no speculative decoding anywhere)."""
+    b, t = tokens.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][tokens]  # [B,T,D]
+    pos = caches[0]["length"][:, None] + jnp.arange(t)[None, :]  # [B,T]
+    new_caches = []
+    for blk, cache in zip(params["blocks"], caches):
+        xa = _rms_norm(x, blk["ln1"])
+        q = _mm(xa, blk["wq"], interpret).reshape(b, t, h, hd).swapaxes(1, 2)
+        k = _mm(xa, blk["wk"], interpret).reshape(b, t, hk, hd).swapaxes(1, 2)
+        v = _mm(xa, blk["wv"], interpret).reshape(b, t, hk, hd).swapaxes(1, 2)
+        q = _rope(q, pos, cfg.rope_theta)  # [B,H,T,hd]
+        k = _rope(k, pos, cfg.rope_theta)  # [B,Hk,T,hd]
+        cache = dec.append_kv_multi(cache, k, v)
+        o = dec.decode_attention(
+            q.swapaxes(1, 2),  # [B,T,H,hd]
+            cache["k"],
+            cache["v"],
+            cache["k_scale"],
+            cache["length"],
+            v_scale=cache["v_scale"],
+            kv_bits=cfg.kv_bits,
+            window_size=cfg.window_size,
+            interpret=interpret,
+        )  # [B,T,H,hd]
+        x = x + _mm(o.reshape(b, t, -1).astype(x.dtype), blk["wo"], interpret)
+        xm = _rms_norm(x, blk["ln2"])
+        x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
+        new_caches.append(cache)
+    logits = _rms_norm(x, params["ln_f"]) @ params["embed"].T  # [B,T,vocab]
+    return logits, new_caches
+
+
+def rollback_caches(caches: list, lengths: jax.Array) -> list:
+    """Set every layer cache's length (speculative-decode rejection): rows
+    past the new length are dead — every consumer masks ``pos < length`` —
+    and the next append overwrites them in place."""
+    return [{**c, "length": lengths} for c in caches]
+
+
+def speculative_generate(
+    params: Params,
+    prompt: jax.Array,  # [1, S]
+    n_new: int,
+    cfg: LLMConfig,
+    *,
+    draft_params: Params,
+    draft_cfg: LLMConfig,
+    spec_k: int = 4,
+    attn_impl: str = "int8",
+    interpret: Optional[bool] = None,
+    return_stats: bool = False,
+):
+    """Greedy speculative decoding: a cheap draft model proposes ``spec_k``
+    tokens per round; the target model scores ALL of them in ONE multi-token
+    verify step (one cache stream instead of spec_k), accepts the matching
+    prefix, and takes its own token at the first divergence — so the output
+    is EXACTLY the target model's greedy generation, in fewer cache passes.
+
+    The draft may be any model sharing the vocabulary — including the same
+    weights at lower precision (self-speculation: e.g. ``quantize_llm_params
+    (params, bits=4)`` + an int4 KV cache). Beyond the reference."""
+    assert prompt.shape[0] == 1, "speculative_generate is single-sequence"
+    assert draft_cfg.vocab == cfg.vocab
+    logits, caches = llm_prefill(
+        params, prompt, cfg, attn_impl=attn_impl, interpret=interpret
+    )
+    dlogits, dcaches = llm_prefill(
+        draft_params, prompt, draft_cfg, attn_impl=attn_impl, interpret=interpret
+    )
+    del dlogits  # the target picks every emitted token, starting now
+    cur = jnp.argmax(logits[:, -1], axis=-1)  # [1]
+    dstep = jax.jit(
+        functools.partial(llm_decode_step, cfg=draft_cfg, interpret=interpret)
+    )
+    out = [int(cur[0])]
+    rounds = accepted_total = 0
+    while len(out) < n_new:
+        # Draft spec_k successors of `cur` (greedy) with the draft model.
+        dt = cur
+        dtoks = []
+        for _ in range(spec_k):
+            dl, dcaches = dstep(draft_params, dt, dcaches)
+            dt = jnp.argmax(dl, axis=-1)
+            dtoks.append(int(dt[0]))
+        # One multi-token verify: feed [cur, d1..d_{k-1}]; row t's logits
+        # score the successor of fed token t.
+        fed = jnp.asarray([[int(cur[0])] + dtoks[:-1]], jnp.int32)  # [1,K]
+        len0 = caches[0]["length"]
+        vlogits, caches = llm_verify_step(
+            params, fed, caches, cfg, interpret=interpret
+        )
+        greedy = [int(g) for g in jnp.argmax(vlogits[0], axis=-1)]
+        m = 0
+        while m < spec_k and dtoks[m] == greedy[m]:
+            m += 1
+        rounds += 1
+        accepted_total += m
+        if m == spec_k:
+            # Every draft matched; d_k itself was never fed, so it becomes
+            # the next round's `cur`. All K fed rows stay in the caches.
+            out.extend(dtoks)
+            cur = jnp.asarray([dtoks[-1]], jnp.int32)
+        else:
+            # Keep fed rows [cur, d1..d_m]; the target's own token at the
+            # divergence is emitted and fed next round.
+            out.extend(dtoks[:m] + [greedy[m]])
+            keep = len0 + m + 1
+            caches = rollback_caches(caches, keep)
+            dcaches = rollback_caches(dcaches, keep)
+            cur = jnp.asarray([greedy[m]], jnp.int32)
+    tokens = jnp.asarray([out[:n_new]], jnp.int32)
+    if return_stats:
+        return tokens, {
+            "rounds": rounds,
+            "mean_accepted": accepted_total / max(rounds, 1),
+            "spec_k": spec_k,
+        }
+    return tokens

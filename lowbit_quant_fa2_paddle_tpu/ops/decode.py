@@ -79,6 +79,8 @@ def _decode_kernel(
     int_pv: bool = False,
     heads_per_step: int = 1,
     window: int = 0,
+    q_tokens: int = 1,
+    group: int = 1,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -97,10 +99,18 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lengths_ref[b]
-    # Sliding window at decode: attend only the last `window` cache rows
-    # (pos in [length - window, length)). Leading blocks are predicated off
-    # below and their DMAs clamped away in the launcher's index maps.
-    start = jnp.maximum(length - window, 0) if window > 0 else None
+    # Multi-token decode (speculative verify): the q block carries
+    # q_tokens x group rows — query token t's rows are [t*group, (t+1)*group)
+    # and may attend pos < length - (q_tokens - 1 - t). The extra queries
+    # ride the SUBLANE dim the single-token path already pads to 8, so
+    # verifying a handful of draft tokens streams the cache exactly once at
+    # single-token cost. With q_tokens == 1 this reduces to pos < length.
+    # Sliding window: attend only the last `window` rows of each query's
+    # own limit. Below-window blocks are predicated off below and their
+    # DMAs clamped away in the launcher's index maps.
+    start = None
+    if window > 0:
+        start = jnp.maximum(length - (q_tokens - 1) - window, 0)
 
     def _head_block(t):
         rows = slice(t * gp, (t + 1) * gp)
@@ -169,9 +179,15 @@ def _decode_kernel(
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = s * LOG2E
         pos = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = pos < length
-        if start is not None:
-            valid = jnp.logical_and(valid, pos >= start)
+        if q_tokens > 1:
+            # Per-row causal limit: row r belongs to query token r // group.
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // group
+            limit = length - (q_tokens - 1) + row_t  # [G, 1]
+        else:
+            limit = length
+        valid = pos < limit
+        if window is not None and window > 0:
+            valid = jnp.logical_and(valid, pos >= limit - window)
         s = jnp.where(valid, s, MASK_VALUE)
 
         m_prev = m_scr[rows]
@@ -309,7 +325,13 @@ def decode_attention(
     at 2048-token pages decode pays ~18%.
 
     Args:
-      q: ``[B, H, D]`` float — current-token queries.
+      q: ``[B, H, D]`` float — current-token queries. OR ``[B, T, H, D]``
+        for multi-token decode (speculative-verify): query token t attends
+        ``pos < lengths[b] - (T - 1 - t)`` — i.e. ``lengths`` counts the
+        cache INCLUDING all T new tokens, and each draft token sees its
+        causal prefix. The T queries ride the kernel's sublane row dim
+        (padded to 8 regardless), so verification streams the cache once
+        at single-token cost.
       k_cache/v_cache: contiguous ``[B, Hk, S, D]``, or paged
         ``[Hk, n_pages, page, D]`` with ``page_table``. int8 codes (or float
         v_cache with ``v_scale=None``). With ``kv_bits=4`` (or per-cache
@@ -325,9 +347,13 @@ def decode_attention(
         (reference ``Req_to_tokens``). Page size must equal ``block_kv``.
       logit_cap: >0 enables tanh logit capping.
 
-    Returns ``[B, H, D]`` in q.dtype.
+    Returns ``[B, H, D]`` (or ``[B, T, H, D]``) in q.dtype.
     """
-    b, h, d = q.shape
+    if q.ndim == 4:
+        b, q_tokens, h, d = q.shape
+    else:
+        b, h, d = q.shape
+        q_tokens = 1
     k_bits = kv_bits if k_bits is None else k_bits
     v_bits = kv_bits if v_bits is None else v_bits
     assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
@@ -384,7 +410,7 @@ def decode_attention(
                 # Below-window steps reuse the first in-window page: their
                 # compute is predicated off, and the repeated index lets
                 # Mosaic skip the DMA entirely.
-                j_lo = jnp.maximum(lens[bi] - window, 0) // block_kv
+                j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
                 jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
             return (hi, tbl[bi, jc], 0, 0)
     else:
@@ -417,7 +443,7 @@ def decode_attention(
             used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
             jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
             if window:
-                j_lo = jnp.maximum(lens[bi] - window, 0) // block_kv
+                j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
                 jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
             return (bi * (hk // hb) + hi, tbl[bi, jc], 0, 0)
 
@@ -438,10 +464,20 @@ def decode_attention(
     while hk % hb:  # round UP to the next divisor of hk (more DMA, not less)
         hb += 1
     g = h // hk
-    g_pad = max(8, cdiv(g, 8) * 8)
-    qg = q.astype(jnp.float32).reshape(b, hk, g, d)
-    if g_pad != g:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
+    rows = q_tokens * g  # query rows per kv head: token-major, group-minor
+    g_pad = max(8, cdiv(rows, 8) * 8)
+    if q_tokens > 1:
+        # [B,T,H,D] -> [B,Hk, T*g, D] with row r = t*g + group_head.
+        qg = (
+            q.astype(jnp.float32)
+            .reshape(b, q_tokens, hk, g, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, hk, rows, d)
+        )
+    else:
+        qg = q.astype(jnp.float32).reshape(b, hk, g, d)
+    if g_pad != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - rows), (0, 0)))
 
     in_specs = [
         pl.BlockSpec((1, hb, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
@@ -466,7 +502,7 @@ def decode_attention(
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
             int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
-            window=window,
+            window=window, q_tokens=q_tokens, group=g,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -502,6 +538,22 @@ def decode_attention(
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), *args)
+    if q_tokens > 1:
+        o = (
+            out[:, :, :rows]
+            .reshape(b, hk, q_tokens, g, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, q_tokens, h, d)
+        )
+        if return_lse:
+            lse = (
+                lse2[:, :, :rows, 0]
+                .reshape(b, hk, q_tokens, g)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, q_tokens, h)
+            )
+            return o, lse
+        return o
     o = out[:, :, :g].reshape(b, h, d)
     if return_lse:
         # Base-2 LSE per (b, head) — the cross-shard merge contract
@@ -581,4 +633,37 @@ def append_kv(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
         "k_scale": upd_scale(cache["k_scale"], ks),
         "v_scale": upd_scale(cache["v_scale"], vs),
         "length": length + 1,
+    }
+
+
+def append_kv_multi(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
+    """Quantize and append T tokens' K/V ``[B, Hk, T, D]`` at each
+    sequence's current length — the speculative-verify twin of
+    :func:`append_kv` (per-token scales are position-independent, so the
+    T appended rows are bit-identical to appending them one at a time)."""
+    t = k_new.shape[2]
+    kq, ks = quantize_token(
+        k_new, bits=8 if cache["k"].shape[-1] == k_new.shape[-1] else 4
+    )
+    vq, vs = quantize_token(
+        v_new, bits=8 if cache["v"].shape[-1] == v_new.shape[-1] else 4
+    )
+    length = cache["length"]
+
+    def upd_codes(buf, val):
+        def one(buf_i, val_i, pos):  # buf_i [Hk,S,D], val_i [Hk,T,D]
+            return jax.lax.dynamic_update_slice(buf_i, val_i, (0, pos, 0))
+        return jax.vmap(one)(buf, val, length)
+
+    def upd_scale(buf, val):
+        def one(buf_i, val_i, pos):  # buf_i [Hk,S], val_i [Hk,T]
+            return jax.lax.dynamic_update_slice(buf_i, val_i, (0, pos))
+        return jax.vmap(one)(buf, val, length)
+
+    return {
+        "k": upd_codes(cache["k"], kq),
+        "v": upd_codes(cache["v"], vq),
+        "k_scale": upd_scale(cache["k_scale"], ks),
+        "v_scale": upd_scale(cache["v_scale"], vs),
+        "length": length + t,
     }
