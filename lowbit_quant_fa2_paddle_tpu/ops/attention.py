@@ -91,7 +91,12 @@ def _unpack_int2_quarters(packed: jax.Array, axis: int = -1) -> jax.Array:
 
 
 def _tri_schedule(
-    nq: int, nk_blocks: int, block_q: int, block_kv: int, window: int = 0
+    nq: int,
+    nk_blocks: int,
+    block_q: int,
+    block_kv: int,
+    window: int = 0,
+    q_offset: int = 0,
 ):
     """Scalar-prefetch tables for the causal triangular grid — or, with
     ``window`` > 0 (sliding-window attention), the causal BAND: one entry
@@ -100,14 +105,27 @@ def _tri_schedule(
     bit 0 = last). With a band the first visited kv block of a row is no
     longer block 0, so first-visit must travel in the table rather than be
     inferred from ``j == 0``. Shared by both kernel schedules so the two
-    can never desynchronize. Work drops from O(S^2/2) to O(S*W)."""
+    can never desynchronize. Work drops from O(S^2/2) to O(S*W).
+
+    ``q_offset`` shifts every q position globally (ring attention: at hop t
+    the visiting KV shard sits t*s_local behind the local Q shard, so the
+    cross-shard band is this same schedule at q_offset = t*s_local).
+    A q block whose band is empty still gets ONE fully-masked visit so its
+    init/finalize run and it emits the (o=0, lse=NEG_INIT) zero-weight
+    contract the ring merge expects."""
     i_list, j_list, flag_list = [], [], []
     for qi in range(nq):
-        j_max = min(nk_blocks, cdiv(qi * block_q + block_q, block_kv))
+        lo_q = qi * block_q + q_offset
+        hi_q = lo_q + block_q - 1
+        j_max = min(nk_blocks, cdiv(hi_q + 1, block_kv))
         j_min = 0
         if window > 0:
             # Lowest key any q row of this block attends: q_min - window + 1.
-            j_min = max(0, (qi * block_q - window + 1) // block_kv)
+            j_min = max(0, (lo_q - window + 1) // block_kv)
+        if j_min >= j_max:
+            # Empty band (possible only with q_offset): one masked visit.
+            j_min = j_max = max(j_max, 1)
+            j_min -= 1
         for ki in range(j_min, j_max):
             i_list.append(qi)
             j_list.append(ki)
@@ -187,6 +205,7 @@ def _attn_body_km(
     block_kv: int,
     causal: bool,
     window: int = 0,
+    q_offset: int = 0,
     quantized_qk: bool,
     fused_quant_q: bool = False,
     k_pack_bits: int,
@@ -281,12 +300,13 @@ def _attn_body_km(
             qs_scr[...] = jnp.broadcast_to(qa * sm_scale_log2e, qs_scr.shape)
 
     if causal:
-        should_run = j * block_kv <= i * block_q + block_q - 1
+        should_run = j * block_kv <= i * block_q + block_q - 1 + q_offset
         if window > 0:
             # Sliding window: blocks entirely below the band are skipped too
             # (rect-grid predication; the tri grid skips them in the table).
             should_run = jnp.logical_and(
-                should_run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+                should_run,
+                j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1,
             )
     else:
         should_run = True
@@ -359,7 +379,10 @@ def _attn_body_km(
             mask = None
             if masked and causal:
                 kvrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0) + j * block_kv
-                qcol = jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1) + i * block_q
+                qcol = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1)
+                    + i * block_q + q_offset
+                )
                 mask = kvrow <= qcol
                 if window > 0:
                     # q attends keys in (q - window, q] — Mistral-class
@@ -437,11 +460,14 @@ def _attn_body_km(
             if causal:
                 # Mask needed iff the block straddles the diagonal: its
                 # largest kv row exceeds its smallest q column.
-                dyn = j * block_kv + block_kv - 1 > i * block_q
+                dyn = j * block_kv + block_kv - 1 > i * block_q + q_offset
                 if window > 0:
                     # ...or straddles the band's lower edge: some (q, kv)
                     # pair in the block is window or more apart.
-                    low = i * block_q + block_q - 1 - j * block_kv >= window
+                    low = (
+                        i * block_q + block_q - 1 + q_offset - j * block_kv
+                        >= window
+                    )
                     dyn = jnp.logical_or(dyn, low)
             if kv_edge:
                 e = j == cdiv(kv_len, block_kv) - 1
@@ -493,6 +519,7 @@ def _attn_body(
     block_kv: int,
     causal: bool,
     window: int = 0,
+    q_offset: int = 0,
     tri: bool = False,
     static_max: bool = False,
     quantized_qk: bool,
@@ -575,10 +602,11 @@ def _attn_body(
 
     if causal and not tri:
         # Rect fallback: skip blocks above the diagonal via predication.
-        should_run = j * block_kv <= i * block_q + block_q - 1
+        should_run = j * block_kv <= i * block_q + block_q - 1 + q_offset
         if window > 0:
             should_run = jnp.logical_and(
-                should_run, j * block_kv + block_kv - 1 >= i * block_q - window + 1
+                should_run,
+                j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1,
             )
     else:
         should_run = True
@@ -661,7 +689,10 @@ def _attn_body(
             ss = s
             mask = None
             if masked and causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                    + i * block_q + q_offset
+                )
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
                 mask = col <= row
                 if window > 0:
@@ -749,9 +780,12 @@ def _attn_body(
             dyn = None
             if mask_split:
                 if causal:
-                    dyn = j * block_kv + block_kv - 1 > i * block_q
+                    dyn = j * block_kv + block_kv - 1 > i * block_q + q_offset
                     if window > 0:
-                        low = i * block_q + block_q - 1 - j * block_kv >= window
+                        low = (
+                            i * block_q + block_q - 1 + q_offset - j * block_kv
+                            >= window
+                        )
                         dyn = jnp.logical_or(dyn, low)
                 if kv_edge:
                     e = j == cdiv(kv_len, block_kv) - 1
@@ -829,6 +863,11 @@ def lowbit_attention(
     # contiguously packed segments. (Beyond the reference — its kernels
     # have no local-attention mode.)
     window_size: Optional[int] = None,
+    # Global position of q row 0 relative to kv row 0 (static). Ring
+    # attention's cross-shard hops: at hop t every local Q shard sits
+    # t*s_local past the visiting KV shard, so causal/window masks and the
+    # banded schedule reuse this kernel with q_position_offset = t*s_local.
+    q_position_offset: int = 0,
     logit_cap: float = 0.0,
     static_max: bool = False,
     # int8 P@V is opt-in: on v5e the [BQ,BK] p-requantization pass costs
@@ -945,11 +984,14 @@ def lowbit_attention(
     if k_scale is not None:
         k_scale = k_scale.astype(jnp.float32)
 
+    q_off = int(q_position_offset)
+    assert q_off == 0 or is_causal, "q_position_offset is a causal-mask shift"
     window = 0
     if window_size is not None:
         assert is_causal, "window_size requires is_causal (causal sliding window)"
         assert window_size >= 1
-        window = int(window_size) if window_size < s_k else 0  # full-seq: no-op
+        # No-op only when the window covers every (q, kv) distance.
+        window = int(window_size) if window_size < s_q + q_off else 0
 
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and v.dtype != jnp.int8
@@ -957,7 +999,7 @@ def lowbit_attention(
     tri = bool(is_causal) and nq > 1
     if tri:
         i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
-            nq, nk_blocks, block_q, block_kv, window
+            nq, nk_blocks, block_q, block_kv, window, q_off
         )
         grid = (b, h, n_steps)
         IM = _im_tri
@@ -1060,6 +1102,7 @@ def lowbit_attention(
         block_kv=block_kv,
         causal=is_causal,
         window=window,
+        q_offset=q_off,
         tri=tri,
         static_max=static_max,
         quantized_qk=quantized_qk,
@@ -1159,6 +1202,9 @@ def lowbit_attention_km(
     is_causal: bool = False,
     # Sliding-window (local causal) attention — see ``lowbit_attention``.
     window_size: Optional[int] = None,
+    # Static global shift of q positions vs kv row 0 (ring cross-shard
+    # hops) — see ``lowbit_attention``.
+    q_position_offset: int = 0,
     sm_scale: Optional[float] = None,
     k_packed_int4: bool = False,
     k_pack_bits: int = 8,
@@ -1278,18 +1324,20 @@ def lowbit_attention_km(
         q_scale = (q_scale * (sm_scale * LOG2E)).astype(jnp.float32)
         k_scale = k_scale.astype(jnp.float32)
 
+    q_off = int(q_position_offset)
+    assert q_off == 0 or is_causal, "q_position_offset is a causal-mask shift"
     window = 0
     if window_size is not None:
         assert is_causal, "window_size requires is_causal (causal sliding window)"
         assert window_size >= 1
-        window = int(window_size) if window_size < s_k else 0  # full-seq: no-op
+        window = int(window_size) if window_size < s_q + q_off else 0
 
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and vT.dtype != jnp.int8
     tri = bool(is_causal) and nq > 1
     if tri:
         i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
-            nq, nk_blocks, block_q, block_kv, window
+            nq, nk_blocks, block_q, block_kv, window, q_off
         )
         grid = (b, h, n_steps)
         IM = _im_tri
@@ -1374,6 +1422,7 @@ def lowbit_attention_km(
         block_kv=block_kv,
         causal=is_causal,
         window=window,
+        q_offset=q_off,
         quantized_qk=quantized_qk,
         fused_quant_q=fused_quant_q,
         k_pack_bits=k_pack_bits,

@@ -66,6 +66,12 @@ def ring_attention(
     *,
     axis_name: str,
     is_causal: bool = False,
+    # Sliding window (causal only): each q attends its previous
+    # ``window_size`` global positions. Ring hops whose whole KV shard lies
+    # below every local q's window are dropped STATICALLY — rotation stops
+    # after ceil((window-1)/s_local) hops, so both the kernel work AND the
+    # ICI traffic scale with the window, not the global sequence.
+    window_size: Optional[int] = None,
     sm_scale: Optional[float] = None,
     smooth_k: bool = True,
     k_bits: int = 8,
@@ -126,10 +132,25 @@ def ring_attention(
     perm = [(i, (i + 1) % n) for i in range(n)]
     k_blk, k_s_blk, v_blk, v_s_blk = k_codes, k_scale, v, v_scale
 
-    for t in range(n):
+    window = None
+    n_hops = n
+    if window_size is not None:
+        assert is_causal, "window_size requires is_causal"
+        window = int(window_size)
+        # Hop t's KV shard sits exactly t*s_loc behind the local Q shard
+        # (for the causal src < idx contributions), so its CLOSEST (q, k)
+        # distance is (t-1)*s_loc + 1; once that exceeds window - 1 the
+        # hop — and every later hop — contributes nothing. Static, so the
+        # rotation (and its ICI traffic) simply stops.
+        if window >= 2:
+            n_hops = min(n, 2 + (window - 2) // s_loc)
+        else:
+            n_hops = 1
+
+    for t in range(n_hops):
         src = (idx - t) % n
 
-        def attend(causal):
+        def attend(causal, q_off=0):
             fn = lowbit_attention_km if k_major else lowbit_attention
             return fn(
                 q_codes,
@@ -140,6 +161,8 @@ def ring_attention(
                 v_scale=v_s_blk,
                 k_pack_bits=k_bits,
                 is_causal=causal,
+                window_size=window,
+                q_position_offset=q_off,
                 sm_scale=sm_scale,
                 return_lse=True,
                 out_dtype=jnp.float32,
@@ -152,11 +175,16 @@ def ring_attention(
                 o_p, lse2 = attend(True)  # diagonal block: local causal
                 on = jnp.full((), True)
             else:
-                # src < idx: fully visible; src > idx: fully masked (skip).
+                # src < idx: visible with the static cross-shard offset
+                # t*s_loc (causal there is trivially true when no window;
+                # with a window the banded schedule prunes in-hop blocks
+                # too); src > idx: fully masked (skip).
                 run = src < idx
                 o_p, lse2 = jax.lax.cond(
                     run,
-                    lambda: attend(False),
+                    lambda: attend(True, q_off=t * s_loc)
+                    if window is not None
+                    else attend(False),
                     lambda: (
                         jnp.zeros(o_shape, jnp.float32),
                         jnp.full((b, h, s_loc), -jnp.inf, jnp.float32),
@@ -169,7 +197,7 @@ def ring_attention(
 
         state = _merge(state, o_p, lse2, on, transposed=k_major)
 
-        if t < n - 1:
+        if t < n_hops - 1:
             # Rotate int8 KV codes + scale rows around the ring (half the
             # ICI bytes of a bf16 ring).
             k_blk = jax.lax.ppermute(k_blk, axis_name, perm)

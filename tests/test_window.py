@@ -146,6 +146,35 @@ def test_window_varlen_segments():
     assert _cos(o, ref) > 0.999
 
 
+def test_ring_windowed_matches_dense_and_drops_hops():
+    """Windowed ring attention over the 8-device CPU mesh: matches the
+    dense windowed oracle, and the rotation stops after the window's hop
+    count (verified by the jitted HLO containing fewer collective-permutes
+    than the full ring)."""
+    from lowbit_quant_fa2_paddle_tpu.parallel.mesh import make_mesh
+    from lowbit_quant_fa2_paddle_tpu.parallel.ring import make_ring_attention
+
+    b, h, s, d, w = 1, 2, 1024, 64, 200  # s_loc = 128 on an 8-ring
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32) + 1.0
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    mesh = make_mesh({"seq": 8})
+    fn = make_ring_attention(mesh, is_causal=True, window_size=w)
+    o = fn(q, k, v)
+    ref = attention_reference(q, k, v, is_causal=True, window_size=w)
+    assert _cos(o, ref) > 0.999
+    # w=200, s_loc=128 -> hops = 2 + (200-2)//128 = 3 of 8; count ppermutes.
+    full = make_ring_attention(mesh, is_causal=True)
+    n_pp = str(jax.jit(fn).lower(q, k, v).compile().as_text()).count(
+        "collective-permute"
+    )
+    n_pp_full = str(jax.jit(full).lower(q, k, v).compile().as_text()).count(
+        "collective-permute"
+    )
+    assert n_pp < n_pp_full, (n_pp, n_pp_full)
+
+
 def test_window_requires_causal():
     q, k, v = _qkv(s=256)
     with pytest.raises(AssertionError):
