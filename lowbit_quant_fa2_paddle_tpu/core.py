@@ -140,6 +140,8 @@ def lowbit_fa_qk_int8_pv_fp16(
     # Causal sliding window: each q attends its previous ``window_size``
     # keys including itself (ops/attention banded grid — O(S*W) work).
     window_size: Optional[int] = None,
+    # StreamingLLM attention sinks: keys [0, sink_size) stay visible.
+    sink_size: int = 0,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -248,6 +250,7 @@ def lowbit_fa_qk_int8_pv_fp16(
             v_mean=v_mean,
             is_causal=is_causal,
             window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             pv_dtype=jnp.float32 if pv_accum_dtype == "fp32+fp32" else jnp.bfloat16,
             out_dtype=v.dtype,
@@ -319,6 +322,7 @@ def lowbit_fa_qk_int8_pv_fp16(
         v_mean=v_mean,
         is_causal=is_causal,
         window_size=window_size,
+        sink_size=sink_size,
         sm_scale=sm_scale,
         pv_dtype=pv_dtype,
         block_q=block_q,

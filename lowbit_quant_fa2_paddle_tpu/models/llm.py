@@ -48,6 +48,9 @@ class LLMConfig:
     # block-skip kernel grid) and decode (rolling KV window — the decode
     # kernel streams O(window) bytes per token). None = full causal.
     window_size: Optional[int] = None
+    # StreamingLLM attention sinks: with a window, the first `sink_size`
+    # tokens stay visible to every position (softmax anchors).
+    sink_size: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -141,15 +144,18 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attn_prefill(q, k, v, attn_impl: str, interpret, window=None):
+def _attn_prefill(q, k, v, attn_impl: str, interpret, window=None, sink=0):
     if attn_impl == "int8":
         return lowbit_fa_qk_int8_pv_fp16(
-            q, k, v, is_causal=True, window_size=window, interpret=interpret
+            q, k, v, is_causal=True, window_size=window, sink_size=sink,
+            interpret=interpret,
         )
-    return attention_reference(q, k, v, is_causal=True, window_size=window)
+    return attention_reference(
+        q, k, v, is_causal=True, window_size=window, sink_size=sink
+    )
 
 
-def _attn_prefill_km(q, k, v, interpret, window=None):
+def _attn_prefill_km(q, k, v, interpret, window=None, sink=0):
     """Transposed-space prefill attention: Q quantized in-kernel from its
     natural (RoPE'd) layout, K codes quantized in natural layout (needed
     natural for the cache anyway), O^T returned for the caller to contract
@@ -167,6 +173,7 @@ def _attn_prefill_km(q, k, v, interpret, window=None):
         fused_quant_q=True,
         is_causal=True,
         window_size=window,
+        sink_size=sink,
         out_dtype=v.dtype,
         interpret=interpret,
     )  # [B, H, hd, S]
@@ -195,13 +202,15 @@ def llm_prefill(
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         if attn_impl == "int8_t" and isinstance(blk["wo"], jax.Array) and hd % 64 == 0:
-            oT = _attn_prefill_km(q, k, v, interpret, window=cfg.window_size)
+            oT = _attn_prefill_km(q, k, v, interpret, window=cfg.window_size,
+                                  sink=cfg.sink_size)
             x = x + jnp.einsum(
                 "bhds,hde->bse", oT.astype(x.dtype), blk["wo"].reshape(h, hd, -1)
             )
         else:
             impl = "int8" if attn_impl == "int8_t" else attn_impl
-            o = _attn_prefill(q, k, v, impl, interpret, window=cfg.window_size)
+            o = _attn_prefill(q, k, v, impl, interpret, window=cfg.window_size,
+                              sink=cfg.sink_size)
             x = x + _mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = _rms_norm(x, blk["ln2"])
         x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
@@ -254,6 +263,7 @@ def llm_decode_step(
             v_scale=cache["v_scale"],
             kv_bits=cfg.kv_bits,
             window_size=cfg.window_size,
+            sink_size=cfg.sink_size,
             interpret=interpret,
         )  # [B,H,D]
         x = x + _mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)
@@ -329,6 +339,7 @@ def llm_verify_step(
             v_scale=cache["v_scale"],
             kv_bits=cfg.kv_bits,
             window_size=cfg.window_size,
+            sink_size=cfg.sink_size,
             interpret=interpret,
         )  # [B,T,H,hd]
         x = x + _mm(o.reshape(b, t, -1).astype(x.dtype), blk["wo"], interpret)

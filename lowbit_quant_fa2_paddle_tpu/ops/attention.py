@@ -97,6 +97,7 @@ def _tri_schedule(
     block_kv: int,
     window: int = 0,
     q_offset: int = 0,
+    sink: int = 0,
 ):
     """Scalar-prefetch tables for the causal triangular grid — or, with
     ``window`` > 0 (sliding-window attention), the causal BAND: one entry
@@ -107,13 +108,16 @@ def _tri_schedule(
     inferred from ``j == 0``. Shared by both kernel schedules so the two
     can never desynchronize. Work drops from O(S^2/2) to O(S*W).
 
-    ``q_offset`` shifts every q position globally (ring attention: at hop t
-    the visiting KV shard sits t*s_local behind the local Q shard, so the
-    cross-shard band is this same schedule at q_offset = t*s_local).
-    A q block whose band is empty still gets ONE fully-masked visit so its
-    init/finalize run and it emits the (o=0, lse=NEG_INIT) zero-weight
-    contract the ring merge expects."""
+    ``sink`` > 0 (StreamingLLM attention sinks) additionally visits the
+    leading blocks covering keys [0, sink) for every q row — the window's
+    anchor tokens. ``q_offset`` shifts every q position globally (ring
+    attention: at hop t the visiting KV shard sits t*s_local behind the
+    local Q shard, so the cross-shard band is this same schedule at
+    q_offset = t*s_local). A q block whose band is empty still gets ONE
+    fully-masked visit so its init/finalize run and it emits the
+    (o=0, lse=NEG_INIT) zero-weight contract the ring merge expects."""
     i_list, j_list, flag_list = [], [], []
+    sink_blocks = cdiv(sink, block_kv) if (sink > 0 and window > 0) else 0
     for qi in range(nq):
         lo_q = qi * block_q + q_offset
         hi_q = lo_q + block_q - 1
@@ -126,11 +130,12 @@ def _tri_schedule(
             # Empty band (possible only with q_offset): one masked visit.
             j_min = j_max = max(j_max, 1)
             j_min -= 1
-        for ki in range(j_min, j_max):
+        js = list(range(min(sink_blocks, j_min))) + list(range(j_min, j_max))
+        for pos, ki in enumerate(js):
             i_list.append(qi)
             j_list.append(ki)
             flag_list.append(
-                (2 if ki == j_min else 0) | (1 if ki == j_max - 1 else 0)
+                (2 if pos == 0 else 0) | (1 if pos == len(js) - 1 else 0)
             )
     return (
         jnp.asarray(np.array(i_list, np.int32)),
@@ -206,6 +211,7 @@ def _attn_body_km(
     causal: bool,
     window: int = 0,
     q_offset: int = 0,
+    sink: int = 0,
     quantized_qk: bool,
     fused_quant_q: bool = False,
     k_pack_bits: int,
@@ -303,11 +309,12 @@ def _attn_body_km(
         should_run = j * block_kv <= i * block_q + block_q - 1 + q_offset
         if window > 0:
             # Sliding window: blocks entirely below the band are skipped too
-            # (rect-grid predication; the tri grid skips them in the table).
-            should_run = jnp.logical_and(
-                should_run,
-                j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1,
-            )
+            # (rect-grid predication; the tri grid skips them in the table),
+            # except attention-sink blocks (keys < sink stay visible).
+            in_band = j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1
+            if sink > 0:
+                in_band = jnp.logical_or(in_band, j * block_kv < sink)
+            should_run = jnp.logical_and(should_run, in_band)
     else:
         should_run = True
 
@@ -386,8 +393,12 @@ def _attn_body_km(
                 mask = kvrow <= qcol
                 if window > 0:
                     # q attends keys in (q - window, q] — Mistral-class
-                    # sliding window, window tokens including self.
-                    mask = jnp.logical_and(mask, kvrow + window > qcol)
+                    # sliding window, window tokens including self — plus
+                    # the sink anchors [0, sink) (StreamingLLM).
+                    inw = kvrow + window > qcol
+                    if sink > 0:
+                        inw = jnp.logical_or(inw, kvrow < sink)
+                    mask = jnp.logical_and(mask, inw)
             if masked and kv_edge:
                 # [BK, 1] column predicate — broadcasts over q lanes, so the
                 # edge block pays a vector (not tile) iota+compare.
@@ -463,7 +474,8 @@ def _attn_body_km(
                 dyn = j * block_kv + block_kv - 1 > i * block_q + q_offset
                 if window > 0:
                     # ...or straddles the band's lower edge: some (q, kv)
-                    # pair in the block is window or more apart.
+                    # pair in the block is window or more apart. Sink
+                    # blocks sit outside the band -> always masked.
                     low = (
                         i * block_q + block_q - 1 + q_offset - j * block_kv
                         >= window
@@ -520,6 +532,7 @@ def _attn_body(
     causal: bool,
     window: int = 0,
     q_offset: int = 0,
+    sink: int = 0,
     tri: bool = False,
     static_max: bool = False,
     quantized_qk: bool,
@@ -604,10 +617,10 @@ def _attn_body(
         # Rect fallback: skip blocks above the diagonal via predication.
         should_run = j * block_kv <= i * block_q + block_q - 1 + q_offset
         if window > 0:
-            should_run = jnp.logical_and(
-                should_run,
-                j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1,
-            )
+            in_band = j * block_kv + block_kv - 1 >= i * block_q + q_offset - window + 1
+            if sink > 0:
+                in_band = jnp.logical_or(in_band, j * block_kv < sink)
+            should_run = jnp.logical_and(should_run, in_band)
     else:
         should_run = True
 
@@ -696,8 +709,12 @@ def _attn_body(
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
                 mask = col <= row
                 if window > 0:
-                    # Sliding window: q attends keys in (q - window, q].
-                    mask = jnp.logical_and(mask, col + window > row)
+                    # Sliding window: q attends keys in (q - window, q],
+                    # plus the sink anchors [0, sink) (StreamingLLM).
+                    inw = col + window > row
+                    if sink > 0:
+                        inw = jnp.logical_or(inw, col < sink)
+                    mask = jnp.logical_and(mask, inw)
             if masked and kv_edge:
                 # [1, BK] row predicate — broadcasts over q rows, so the
                 # edge block pays a vector (not tile) iota+compare.
@@ -863,6 +880,10 @@ def lowbit_attention(
     # contiguously packed segments. (Beyond the reference — its kernels
     # have no local-attention mode.)
     window_size: Optional[int] = None,
+    # StreamingLLM attention sinks: with a window, keys [0, sink_size)
+    # stay visible to every q (the softmax anchor tokens). The banded grid
+    # additionally visits the leading sink blocks.
+    sink_size: int = 0,
     # Global position of q row 0 relative to kv row 0 (static). Ring
     # attention's cross-shard hops: at hop t every local Q shard sits
     # t*s_local past the visiting KV shard, so causal/window masks and the
@@ -992,6 +1013,7 @@ def lowbit_attention(
         assert window_size >= 1
         # No-op only when the window covers every (q, kv) distance.
         window = int(window_size) if window_size < s_q + q_off else 0
+    sink = int(sink_size) if window > 0 else 0
 
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and v.dtype != jnp.int8
@@ -999,7 +1021,7 @@ def lowbit_attention(
     tri = bool(is_causal) and nq > 1
     if tri:
         i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
-            nq, nk_blocks, block_q, block_kv, window, q_off
+            nq, nk_blocks, block_q, block_kv, window, q_off, sink
         )
         grid = (b, h, n_steps)
         IM = _im_tri
@@ -1103,6 +1125,7 @@ def lowbit_attention(
         causal=is_causal,
         window=window,
         q_offset=q_off,
+        sink=sink,
         tri=tri,
         static_max=static_max,
         quantized_qk=quantized_qk,
@@ -1202,6 +1225,8 @@ def lowbit_attention_km(
     is_causal: bool = False,
     # Sliding-window (local causal) attention — see ``lowbit_attention``.
     window_size: Optional[int] = None,
+    # StreamingLLM attention sinks — see ``lowbit_attention``.
+    sink_size: int = 0,
     # Static global shift of q positions vs kv row 0 (ring cross-shard
     # hops) — see ``lowbit_attention``.
     q_position_offset: int = 0,
@@ -1331,13 +1356,14 @@ def lowbit_attention_km(
         assert is_causal, "window_size requires is_causal (causal sliding window)"
         assert window_size >= 1
         window = int(window_size) if window_size < s_q + q_off else 0
+    sink = int(sink_size) if window > 0 else 0
 
     nq, nk_blocks = cdiv(s_q, block_q), cdiv(s_k, block_kv)
     mask_v_edge = s_k % block_kv != 0 and vT.dtype != jnp.int8
     tri = bool(is_causal) and nq > 1
     if tri:
         i_tbl, j_tbl, last_tbl, n_steps = _tri_schedule(
-            nq, nk_blocks, block_q, block_kv, window, q_off
+            nq, nk_blocks, block_q, block_kv, window, q_off, sink
         )
         grid = (b, h, n_steps)
         IM = _im_tri
@@ -1423,6 +1449,7 @@ def lowbit_attention_km(
         causal=is_causal,
         window=window,
         q_offset=q_off,
+        sink=sink,
         quantized_qk=quantized_qk,
         fused_quant_q=fused_quant_q,
         k_pack_bits=k_pack_bits,

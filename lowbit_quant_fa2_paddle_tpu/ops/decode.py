@@ -79,6 +79,7 @@ def _decode_kernel(
     int_pv: bool = False,
     heads_per_step: int = 1,
     window: int = 0,
+    sink: int = 0,
     q_tokens: int = 1,
     group: int = 1,
 ):
@@ -187,7 +188,11 @@ def _decode_kernel(
             limit = length
         valid = pos < limit
         if window is not None and window > 0:
-            valid = jnp.logical_and(valid, pos >= limit - window)
+            inw = pos >= limit - window
+            if sink > 0:
+                # StreamingLLM anchors: keys [0, sink) stay visible.
+                inw = jnp.logical_or(inw, pos < sink)
+            valid = jnp.logical_and(valid, inw)
         s = jnp.where(valid, s, MASK_VALUE)
 
         m_prev = m_scr[rows]
@@ -252,7 +257,10 @@ def _decode_kernel(
 
     live = j * block_kv < length
     if start is not None:
-        live = jnp.logical_and(live, j * block_kv + block_kv > start)
+        in_band = j * block_kv + block_kv > start
+        if sink > 0:
+            in_band = jnp.logical_or(in_band, j * block_kv < sink)
+        live = jnp.logical_and(live, in_band)
 
     @pl.when(live)
     def _compute():
@@ -291,6 +299,10 @@ def decode_attention(
     # clamped away, so decode streams O(window) bytes per token regardless
     # of context length.
     window_size: Optional[int] = None,
+    # StreamingLLM attention sinks: with a window, cache rows [0, sink_size)
+    # stay visible (their pages keep streaming; the gap between sink and
+    # window is predicated off and DMA-clamped).
+    sink_size: int = 0,
     return_lse: bool = False,
     # Clamp the KV page walk to each sequence's pages-in-use so grid steps
     # past the length re-use the same block (no DMA issued) — batches mixing
@@ -371,6 +383,7 @@ def decode_attention(
     )
     window = int(window_size) if window_size else 0
     assert window >= 0
+    sink = int(sink_size) if window > 0 else 0
     paged = page_table is not None
     if block_kv is None:
         if paged:
@@ -409,9 +422,10 @@ def decode_attention(
             if window:
                 # Below-window steps reuse the first in-window page: their
                 # compute is predicated off, and the repeated index lets
-                # Mosaic skip the DMA entirely.
+                # Mosaic skip the DMA entirely. Sink pages keep streaming.
                 j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
-                jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
+                jw = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
+                jc = jnp.where(ji * block_kv < sink, jc, jw) if sink else jw
             return (hi, tbl[bi, jc], 0, 0)
     else:
         _, hk, s_max, _ = k_cache.shape
@@ -444,7 +458,8 @@ def decode_attention(
             jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
             if window:
                 j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
-                jc = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
+                jw = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
+                jc = jnp.where(ji * block_kv < sink, jc, jw) if sink else jw
             return (bi * (hk // hb) + hi, tbl[bi, jc], 0, 0)
 
     if sm_scale is None:
@@ -502,7 +517,7 @@ def decode_attention(
             block_kv=block_kv, logit_cap=logit_cap, sm_scale=float(sm_scale),
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
             int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
-            window=window, q_tokens=q_tokens, group=g,
+            window=window, sink=sink, q_tokens=q_tokens, group=g,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -35,6 +35,7 @@ def attention_reference(
     *,
     is_causal: bool = False,
     window_size: Optional[int] = None,
+    sink_size: int = 0,
     sm_scale: Optional[float] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
@@ -78,8 +79,12 @@ def attention_reference(
         col = jnp.arange(s_k)[None, :]
         mask = col <= row  # [Sq, Sk]
         if window_size is not None:
-            # Sliding window: q attends keys in (q - W, q], W incl. self.
-            mask = jnp.logical_and(mask, col + window_size > row)
+            # Sliding window: q attends keys in (q - W, q], W incl. self —
+            # plus the StreamingLLM sink anchors [0, sink_size).
+            inw = col + window_size > row
+            if sink_size > 0:
+                inw = jnp.logical_or(inw, col < sink_size)
+            mask = jnp.logical_and(mask, inw)
         mask = mask[None, None]
     if q_segment_ids is not None:
         assert kv_segment_ids is not None

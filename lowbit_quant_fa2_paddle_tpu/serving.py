@@ -280,7 +280,8 @@ def _prefill_forward(
         v = L._mm(xa, blk["wv"], interpret).reshape(b, s, hk, hd).swapaxes(1, 2)
         q = L._rope(q, pos, cfg.rope_theta)
         k = L._rope(k, pos, cfg.rope_theta)
-        o = L._attn_prefill(q, k, v, "int8", interpret, window=cfg.window_size)
+        o = L._attn_prefill(q, k, v, "int8", interpret, window=cfg.window_size,
+                            sink=cfg.sink_size)
         x = x + L._mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
         xm = L._rms_norm(x, blk["ln2"])
         x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
@@ -348,6 +349,7 @@ def _decode_step(
             kv_bits=kv_bits,
             block_kv=page_size,
             window_size=cfg.window_size,
+            sink_size=cfg.sink_size,
             interpret=interpret,
         )  # [B,H,D]
         x = x + L._mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)

@@ -175,6 +175,88 @@ def test_ring_windowed_matches_dense_and_drops_hops():
     assert n_pp < n_pp_full, (n_pp, n_pp_full)
 
 
+def test_sink_prefill_vs_oracle():
+    """StreamingLLM attention sinks: window + visible [0, sink) anchors."""
+    q, k, v = _qkv(s=1024)
+    ref = attention_reference(
+        q, k, v, is_causal=True, window_size=200, sink_size=64
+    )
+    for sched in ("k", "q"):
+        from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+            lowbit_attention,
+            lowbit_attention_km,
+        )
+
+        if sched == "k":
+            o = lowbit_attention_km(
+                jnp.swapaxes(q, 2, 3).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                jnp.swapaxes(v, 2, 3).astype(jnp.bfloat16),
+                is_causal=True, window_size=200, sink_size=64,
+                block_q=256, block_kv=128,
+            )
+            o = jnp.swapaxes(o, 2, 3)
+        else:
+            o = lowbit_attention(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                is_causal=True, window_size=200, sink_size=64,
+                block_q=256, block_kv=128,
+            )
+        assert _cos(o, ref) > 0.999, sched
+    # int8 API path
+    o8 = lq.lowbit_fa_qk_int8_pv_fp16(
+        q, k, v, is_causal=True, window_size=200, sink_size=64
+    )
+    assert _cos(o8, ref) > 0.999
+
+
+def test_sink_decode_vs_oracle():
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    b, h, hk, s, d, w, sk = 2, 8, 2, 512, 64, 100, 32
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array([512, 300], jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    o = dec.decode_attention(
+        q, kc, vc, ksc, lengths, v_scale=vsc,
+        window_size=w, sink_size=sk, block_kv=64,
+    )
+    for i in range(b):
+        L = int(lengths[i])
+        lo = max(0, L - w)
+        ki = jnp.concatenate([k[i : i + 1, :, :sk], k[i : i + 1, :, lo:L]], axis=2)
+        vi = jnp.concatenate([v[i : i + 1, :, :sk], v[i : i + 1, :, lo:L]], axis=2)
+        ref = attention_reference(q[i : i + 1].reshape(1, h, 1, d), ki, vi)
+        c = _cos(o[i][None, :, None, :], ref)
+        assert c > 0.999, (i, c)
+
+
+def test_sink_llm_decode_matches_prefill():
+    """Sinked+windowed LLM: decode via cache == prefill (same mask both
+    phases), and differs from the window-only model."""
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.tiny_llm_config(max_seq=64, window_size=6, sink_size=4)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    logits, caches = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
+    nxt = jnp.argmax(logits[:, -1], -1)
+    lo_dec, _ = llm.llm_decode_step(params, nxt, caches, cfg)
+    full = jnp.concatenate([prompt, nxt[:, None]], axis=1)
+    lo_full, _ = llm.llm_prefill(params, full, cfg, attn_impl="exact")
+    cos = jnp.sum(lo_dec * lo_full[:, -1]) / (
+        jnp.linalg.norm(lo_dec) * jnp.linalg.norm(lo_full[:, -1])
+    )
+    assert float(cos) > 0.999
+    cfg_nosink = llm.tiny_llm_config(max_seq=64, window_size=6)
+    lo_ns, _ = llm.llm_prefill(params, full, cfg_nosink, attn_impl="exact")
+    assert not np.allclose(np.asarray(lo_full), np.asarray(lo_ns))
+
+
 def test_window_requires_causal():
     q, k, v = _qkv(s=256)
     with pytest.raises(AssertionError):
