@@ -301,6 +301,7 @@ struct SchedRequest {
   int32_t sid = -1;       // allocator sequence id
   bool preempted = false; // waiting again with length > 0 (KV swapped out)
   bool canceled = false;  // removed from the waiting queue before admission
+  int64_t trimmed_priv = 0;  // private pages freed by scheduler_trim (holes)
   std::vector<int32_t> shared;  // prefix-cache pages (pinned by the caller)
 };
 
@@ -600,10 +601,13 @@ static PyObject* scheduler_release(PyObject*, PyObject* args) {
     return nullptr;
   }
   SchedRequest& r = s->reqs[rid];
+  // LIVE private pages: trimmed holes already rejoined the "unallocated"
+  // side of the reservation ledger in scheduler_trim.
   int64_t allocated_private =
       static_cast<int64_t>(s->alloc.seq_pages[r.sid].size()) -
-      static_cast<int64_t>(r.shared.size());
+      static_cast<int64_t>(r.shared.size()) - r.trimmed_priv;
   for (int32_t p : s->alloc.seq_pages[r.sid]) {
+    if (p < 0) continue;  // hole left by scheduler_trim (rolling window)
     if (--s->ref[p] == 0) s->alloc.free_list.push_back(p);
   }
   s->alloc.seq_pages[r.sid].clear();
@@ -660,11 +664,14 @@ static PyObject* scheduler_preempt(PyObject*, PyObject* args) {
   SchedRequest& r = s->reqs[rid];
   auto& pages = s->alloc.seq_pages[r.sid];
   int64_t allocated_private = static_cast<int64_t>(pages.size()) -
-                              static_cast<int64_t>(r.shared.size());
+                              static_cast<int64_t>(r.shared.size()) -
+                              r.trimmed_priv;
   // only private pages are released — the shared prefix keeps its add-time
   // pin (the prefix payload survives in place for the resume)
   for (size_t i = r.shared.size(); i < pages.size(); ++i) {
-    if (--s->ref[pages[i]] == 0) s->alloc.free_list.push_back(pages[i]);
+    int32_t p = pages[i];
+    if (p < 0) continue;  // hole left by scheduler_trim (rolling window)
+    if (--s->ref[p] == 0) s->alloc.free_list.push_back(p);
   }
   pages.clear();
   s->alloc.free_seq_slots.push_back(r.sid);
@@ -672,9 +679,56 @@ static PyObject* scheduler_preempt(PyObject*, PyObject* args) {
   s->slots[r.slot] = -1;
   r.slot = -1;
   r.sid = -1;
+  r.trimmed_priv = 0;  // re-admission allocates a fresh hole-free table
   r.preempted = true;
   s->waiting.insert(s->waiting.begin(), rid);
   Py_RETURN_NONE;
+}
+
+// scheduler_trim(h, rid, upto) -> pages actually freed. Release the leading
+// `upto` LOGICAL pages of a RUNNING request (StreamingLLM rolling window):
+// shared prefix pages are unpinned, private pages freed, and each trimmed
+// entry becomes a -1 hole so the page table keeps logical indexing (the
+// decode kernel's clamped walk never touches below-window logicals). The
+// request's length is unchanged; already-trimmed entries are skipped.
+static PyObject* scheduler_trim(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  long long upto;
+  long long start = 0;  // first trimmable logical page (sink anchors survive)
+  if (!PyArg_ParseTuple(args, "OiL|L", &cap, &rid, &upto, &start))
+    return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  auto& pages = s->alloc.seq_pages[r.sid];
+  if (start < 0) start = 0;
+  if (upto < 0) upto = 0;
+  if (upto > static_cast<long long>(pages.size()))
+    upto = static_cast<long long>(pages.size());
+  long long freed = 0;
+  for (long long i = start; i < upto; ++i) {
+    int32_t p = pages[i];
+    if (p < 0) continue;
+    if (--s->ref[p] == 0) {
+      s->alloc.free_list.push_back(p);
+      ++freed;
+    }
+    if (i >= static_cast<long long>(r.shared.size())) {
+      // A trimmed PRIVATE page rejoins the unallocated side of the
+      // reservation ledger: the sequence will allocate again as it grows,
+      // and admission must keep covering that future draw.
+      r.trimmed_priv += 1;
+      s->outstanding += 1;
+    }
+    pages[i] = -1;
+  }
+  return PyLong_FromLongLong(freed);
 }
 
 // Current refcount of a page (0 == free). Lets the eviction loop predict
@@ -769,6 +823,8 @@ static PyMethodDef Methods[] = {
      "[, lazy])"},
     {"scheduler_cancel", scheduler_cancel, METH_VARARGS,
      "remove a waiting request from the queue; unpins its shared pages"},
+    {"scheduler_trim", scheduler_trim, METH_VARARGS,
+     "release leading logical pages of a running request (rolling window)"},
     {"scheduler_preempt", scheduler_preempt, METH_VARARGS,
      "swap a running request back to the front of the waiting queue"},
     {"scheduler_page_ref", scheduler_page_ref, METH_VARARGS,

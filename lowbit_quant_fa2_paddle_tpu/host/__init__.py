@@ -193,7 +193,7 @@ class Scheduler:
         self._reqs.append(
             {"prompt_len": prompt_len, "max_new": max_new, "length": 0,
              "reserved": need, "slot": -1, "pages": None, "shared": shared,
-             "preempted": False, "canceled": False}
+             "preempted": False, "canceled": False, "trimmed_priv": 0}
         )
         self._waiting.append(rid)
         return rid
@@ -303,8 +303,11 @@ class Scheduler:
             _native.scheduler_release(self._h, rid)
             return
         r = self._require_running(rid)
-        allocated_private = len(r["pages"]) - len(r["shared"])
+        # LIVE private pages: trimmed holes already rejoined the ledger.
+        allocated_private = len(r["pages"]) - len(r["shared"]) - r["trimmed_priv"]
         for p in r["pages"]:
+            if p < 0:  # hole left by trim (rolling window)
+                continue
             self._ref[p] -= 1
             if self._ref[p] == 0:
                 self._free.append(p)
@@ -340,16 +343,50 @@ class Scheduler:
             _native.scheduler_preempt(self._h, rid)
             return
         r = self._require_running(rid)
-        allocated_private = len(r["pages"]) - len(r["shared"])
+        allocated_private = len(r["pages"]) - len(r["shared"]) - r["trimmed_priv"]
         for p in r["pages"][len(r["shared"]):]:
+            if p < 0:  # hole left by trim (rolling window)
+                continue
             self._ref[p] -= 1
             if self._ref[p] == 0:
                 self._free.append(p)
+        r["trimmed_priv"] = 0  # re-admission allocates a fresh table
         self._outstanding -= r["reserved"] - allocated_private
         self._slots[r["slot"]] = -1
         r["slot"], r["pages"] = -1, None
         r["preempted"] = True
         self._waiting.insert(0, rid)
+
+    def trim(self, rid: int, upto: int, start: int = 0) -> int:
+        """Release LOGICAL pages ``[start, upto)`` of a RUNNING request
+        (StreamingLLM rolling window; ``start`` protects the sink anchors):
+        shared prefix pages are unpinned, private pages freed, and each
+        trimmed entry becomes a ``-1`` hole so :meth:`page_table` keeps
+        logical indexing (the decode kernel's clamped walk never touches
+        below-window logicals). Length is unchanged; already-trimmed
+        entries are skipped. Returns the number of pages actually returned
+        to the pool."""
+        if self._h is not None:
+            return _native.scheduler_trim(self._h, rid, int(upto), int(start))
+        r = self._require_running(rid)
+        upto = max(0, min(int(upto), len(r["pages"])))
+        freed = 0
+        for i in range(max(0, int(start)), upto):
+            p = r["pages"][i]
+            if p < 0:
+                continue
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+                freed += 1
+            if i >= len(r["shared"]):
+                # A trimmed PRIVATE page rejoins the unallocated side of
+                # the reservation ledger (the sequence allocates again as
+                # it grows; admission must keep covering that draw).
+                r["trimmed_priv"] += 1
+                self._outstanding += 1
+            r["pages"][i] = -1
+        return freed
 
     def page_ref(self, pid: int) -> int:
         """Current refcount of a page (0 == free)."""

@@ -481,7 +481,17 @@ class ServingEngine:
             shared = self.prefix_cache.lookup(
                 prompt, (prompt.size - 1) // self.scfg.page_size
             )
-        rid = self.sched.add(int(prompt.size), int(max_new_tokens), shared)
+        max_new_sched = int(max_new_tokens)
+        if self.cfg.window_size is not None:
+            # Rolling page reclamation bounds a windowed sequence's LIVE
+            # pages at sink + window (+ partial-page slop) regardless of
+            # how long it generates — cap the scheduler-side worst-case
+            # reservation accordingly so "generate forever" admits into a
+            # finite pool. (The logical table width still covers the full
+            # length; trimmed logicals become holes.)
+            cap = self.cfg.sink_size + self.cfg.window_size + 3 * self.scfg.page_size
+            max_new_sched = max(1, min(max_new_sched, cap))
+        rid = self.sched.add(int(prompt.size), max_new_sched, shared)
         self._shared[rid] = len(shared)
         self._waiting_rids.append(rid)
         self._prompts[rid] = prompt
@@ -668,7 +678,25 @@ class ServingEngine:
                 new_len = self.sched.append_token(rid)
                 assert new_len > 0, "page pressure relief failed"
                 self._lengths[slot] = new_len
+                if self.cfg.window_size is not None:
+                    # Rolling page reclamation (StreamingLLM): a page whose
+                    # last token sits entirely below every future window
+                    # start — and past the sink anchors — can never be
+                    # attended again; return it to the pool so unbounded
+                    # generation holds O(sink + window) pages per sequence.
+                    ps = self.scfg.page_size
+                    sink_pages = -(-self.cfg.sink_size // ps)
+                    reclaim = (new_len - self.cfg.window_size) // ps
+                    if reclaim > sink_pages:
+                        self.sched.trim(rid, reclaim, start=sink_pages)
                 pages = self.sched.page_table(rid)
+                if pages and min(pages) < 0:
+                    # -1 holes (trimmed logicals) must not reach the jnp
+                    # table: point them at the newest page — the clamped
+                    # kernel walk never reads below-window logicals, this
+                    # only keeps indices in range.
+                    safe = pages[-1]
+                    pages = [p if p >= 0 else safe for p in pages]
                 self._table[slot, : len(pages)] = pages
             logits, self.caches = self._decode(
                 self.params,

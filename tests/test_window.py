@@ -257,6 +257,70 @@ def test_sink_llm_decode_matches_prefill():
     assert not np.allclose(np.asarray(lo_full), np.asarray(lo_ns))
 
 
+@pytest.fixture(params=["native", "fallback"])
+def sched_cls(request, monkeypatch):
+    import lowbit_quant_fa2_paddle_tpu.host as host_mod
+    from lowbit_quant_fa2_paddle_tpu.host import Scheduler
+
+    if request.param == "native":
+        if not host_mod.HAVE_NATIVE:
+            pytest.skip("native extension not built")
+    else:
+        monkeypatch.setattr(host_mod, "_native", None)
+    return Scheduler
+
+
+def test_scheduler_trim(sched_cls):
+    """Rolling-window page reclamation: trim frees leading logical pages,
+    leaves -1 holes, protects [0, start), and release skips holes."""
+    s = sched_cls(8, 4, 2)
+    rid = s.add(10, 7)  # 3 content pages now, worst case 4
+    s.step()
+    assert s.stats()["free_pages"] == 5
+    freed = s.trim(rid, 2, start=1)  # trim logical page 1 only
+    assert freed == 1
+    pt = s.page_table(rid)
+    assert pt[1] == -1 and pt[0] >= 0 and pt[2] >= 0
+    assert s.stats()["free_pages"] == 6
+    # idempotent; start protects the sink page
+    assert s.trim(rid, 2, start=1) == 0
+    assert s.trim(rid, 1) == 1  # now the sink page too
+    assert s.page_table(rid)[0] == -1
+    # growth continues; release returns every remaining page
+    for _ in range(4):
+        assert s.append_token(rid) > 0
+    s.release(rid)
+    assert s.stats()["free_pages"] == 8
+
+
+def test_serving_windowed_rolling_reclamation():
+    """A windowed engine generates past what the page pool could EVER hold
+    un-trimmed — rolling reclamation keeps per-sequence pages at
+    O(sink + window) — and the tokens still match the contiguous-cache
+    windowed oracle (trimmed pages are provably out of every future mask)."""
+    from lowbit_quant_fa2_paddle_tpu.models import llm as L
+    from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+    cfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2,
+        max_seq=256, window_size=16, sink_size=4,
+    )
+    params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = [7, 3, 22, 9, 41, 5, 16, 2]
+    max_new = 80  # total 88 tokens = 11 pages of 8 — pool holds only 8
+    ref = L.generate(params, jnp.asarray([prompt]), max_new, cfg)
+    eng = ServingEngine(
+        params, cfg,
+        ServingConfig(page_size=8, num_pages=8, max_batch=1,
+                      max_pages_per_seq=16),  # logical width > pool size
+    )
+    rid = eng.add_request(prompt, max_new)
+    got = eng.run()[rid]
+    assert got == list(np.asarray(ref[0])), (got[:10], np.asarray(ref[0])[:10])
+    st = eng.stats()
+    assert st["free_pages"] == st["num_pages"]  # everything returned
+
+
 def test_window_requires_causal():
     q, k, v = _qkv(s=256)
     with pytest.raises(AssertionError):
