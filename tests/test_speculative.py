@@ -64,6 +64,46 @@ def test_multitoken_matches_single_token_rows():
         )
 
 
+def test_multitoken_decode_paged():
+    """q_tokens composes with paged tables (the serving-cache layout)."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    b, h, hk, s, d, t, page = 2, 4, 2, 512, 64, 3, 128
+    q = jax.random.normal(ks[0], (b, t, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array([512, 384], jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    n_log = s // page
+    perm = np.random.RandomState(1).permutation(b * n_log)
+    table = perm.reshape(b, n_log).astype(np.int32)
+    kp = np.zeros((hk, b * n_log, page, d), np.int8)
+    vp = np.zeros((hk, b * n_log, page, d), np.int8)
+    ksp = np.zeros((hk, b * n_log, page), np.float32)
+    vsp = np.zeros((hk, b * n_log, page), np.float32)
+    for i in range(b):
+        for p in range(n_log):
+            pid = table[i, p]
+            rows = slice(p * page, (p + 1) * page)
+            kp[:, pid] = np.asarray(kc)[i, :, rows]
+            vp[:, pid] = np.asarray(vc)[i, :, rows]
+            ksp[:, pid] = np.asarray(ksc)[i, :, rows]
+            vsp[:, pid] = np.asarray(vsc)[i, :, rows]
+    o = dec.decode_attention(
+        q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(ksp), lengths,
+        v_scale=jnp.asarray(vsp), page_table=jnp.asarray(table),
+    )
+    for i in range(b):
+        for tt in range(t):
+            L = int(lengths[i]) - (t - 1 - tt)
+            ref = attention_reference(
+                q[i : i + 1, tt].reshape(1, h, 1, d),
+                k[i : i + 1, :, :L], v[i : i + 1, :, :L],
+            )
+            c = float(cosine_similarity(o[i, tt][None, :, None, :], ref))
+            assert c > 0.999, (i, tt, c)
+
+
 @pytest.fixture()
 def target_setup():
     cfg = llm.tiny_llm_config(
