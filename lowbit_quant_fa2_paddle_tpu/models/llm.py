@@ -395,10 +395,28 @@ def speculative_generate(
     out = [int(cur[0])]
     rounds = accepted_total = 0
     while len(out) < n_new:
-        # Draft spec_k successors of `cur` (greedy) with the draft model.
+        # Cache-capacity guard: a verify round appends k fed rows to the
+        # target cache and the draft loop appends k to the draft cache —
+        # writing past max_seq would CLAMP dynamic_update_slice onto
+        # already-accepted rows and silently corrupt the generation.
+        len0_host = int(jax.device_get(caches[0]["length"])[0])
+        dlen_host = int(jax.device_get(dcaches[0]["length"])[0])
+        k = min(
+            spec_k,
+            cfg.max_seq - len0_host,
+            draft_cfg.max_seq - dlen_host,
+        )
+        if k < 1:
+            raise ValueError(
+                f"speculative_generate: cache capacity exhausted "
+                f"(target {len0_host}/{cfg.max_seq}, draft "
+                f"{dlen_host}/{draft_cfg.max_seq}); size max_seq >= "
+                f"prompt + n_new + spec_k"
+            )
+        # Draft k successors of `cur` (greedy) with the draft model.
         dt = cur
         dtoks = []
-        for _ in range(spec_k):
+        for _ in range(k):
             dl, dcaches = dstep(draft_params, dt, dcaches)
             dt = jnp.argmax(dl, axis=-1)
             dtoks.append(int(dt[0]))
@@ -411,11 +429,11 @@ def speculative_generate(
         )
         greedy = [int(g) for g in jnp.argmax(vlogits[0], axis=-1)]
         m = 0
-        while m < spec_k and dtoks[m] == greedy[m]:
+        while m < k and dtoks[m] == greedy[m]:
             m += 1
         rounds += 1
         accepted_total += m
-        if m == spec_k:
+        if m == k:
             # Every draft matched; d_k itself was never fed, so it becomes
             # the next round's `cur`. All K fed rows stay in the caches.
             out.extend(dtoks)

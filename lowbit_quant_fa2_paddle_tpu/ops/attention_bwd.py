@@ -270,7 +270,21 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
         ks_row, vs_row = ks[:, :, None, :], vs[:, :, None, :]  # [B,Hk,1,Sk]
 
     dq_im = lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-    dq_kim = lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
+    if window > 0 and is_causal:
+        # Banded DMA: out-of-band grid steps CLAMP their K/V tile index to
+        # the band edge — repeated indices make Mosaic skip the DMA (the
+        # decode kernel's clamped-walk trick), so the backward streams
+        # O(S*W) K/V bytes like the forward's banded grid instead of the
+        # rectangular grid's O(S^2). Compute for those steps is already
+        # `run`-predicated off.
+        def dq_kim(bi, hi, qi, ki):
+            j_lo = jnp.maximum((qi * block_q - window + 1) // block_kv, 0)
+            j_hi = jnp.minimum(
+                (qi * block_q + block_q - 1) // block_kv, nk - 1
+            )
+            return (bi, hi // g, jnp.clip(ki, j_lo, j_hi), 0)
+    else:
+        dq_kim = lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
     dq_in_specs = [
         qspec(dq_im), kspec(dq_kim), kspec(dq_kim), qspec(dq_im),
         qcol(dq_im), qcol(dq_im),
@@ -302,7 +316,18 @@ def _flash_bwd(q, k, v, o, lse2, do, *, is_causal, sm_scale,
 
     # Inner dim walks (group head, q block) pairs: ii -> head hk*g + ii//nq,
     # q block ii%nq. Plain q-head index maps fall out at g=1.
-    kv_qim = lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)
+    if window > 0 and is_causal:
+        # Banded DMA twin for the dKV grid: clamp the q-tile walk to the
+        # kv block's band rows (see the dq note above).
+        def kv_qim(bi, hi, ki, ii):
+            qi = ii % nq
+            i_lo = (ki * block_kv) // block_q
+            i_hi = jnp.minimum(
+                (ki * block_kv + block_kv - 1 + window - 1) // block_q, nq - 1
+            )
+            return (bi, hi * g + ii // nq, jnp.clip(qi, i_lo, i_hi), 0)
+    else:
+        kv_qim = lambda bi, hi, ki, ii: (bi, hi * g + ii // nq, ii % nq, 0)
     kv_kim = lambda bi, hi, ki, ii: (bi, hi, ki, 0)
     kv_in_specs = [
         qspec(kv_qim), kspec(kv_kim), kspec(kv_kim), qspec(kv_qim),

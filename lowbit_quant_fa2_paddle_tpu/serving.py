@@ -425,6 +425,21 @@ class ServingEngine:
         self.interpret = interpret
         if scfg.admission not in ("reserve", "lazy"):
             raise ValueError("admission must be 'reserve' or 'lazy'")
+        if cfg.window_size is not None and scfg.admission == "lazy":
+            # Rolling trim leaves -1 holes in a windowed request's logical
+            # page table; lazy admission's preemption/resume path would
+            # re-allocate the FULL hole-free logical length (potentially
+            # larger than the whole pool — the exact regime trimming
+            # exists for) and corrupt the capped-reservation ledger.
+            # Windowed reservations are already small (capped at
+            # sink + window + slop in add_request), so reserve admission
+            # keeps the lazy mode's concurrency benefit without needing
+            # preemption at all.
+            raise ValueError(
+                "sliding-window models require admission='reserve' "
+                "(rolling page reclamation replaces lazy admission's "
+                "preemption as the memory-bound mechanism)"
+            )
         self.sched = host.Scheduler(
             scfg.num_pages, scfg.page_size, scfg.max_batch,
             lazy=scfg.admission == "lazy",
@@ -568,6 +583,10 @@ class ServingEngine:
         pages = self.sched.page_table(rid)
         n_shared = self.sched.info(rid)["shared"]
         priv = np.asarray(pages[n_shared:], np.int32)
+        # Trim holes (-1) cannot appear here: windowed engines run reserve
+        # admission (enforced in __init__), which never preempts. A -1
+        # would silently gather another sequence's page into the payload.
+        assert priv.size == 0 or priv.min() >= 0, "preempt saw trimmed holes"
         saved = jax.device_get([
             {name: c[name][:, priv] for name in c} for c in self.caches
         ])

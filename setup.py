@@ -17,7 +17,11 @@ setup(
         "lowbit_quant_fa2_paddle_tpu.parallel",
         "lowbit_quant_fa2_paddle_tpu.utils",
         "lowbit_quant_fa2_paddle_tpu.host",
+        "lowbit_quant_fa2_paddle_tpu.evalkit",
     ],
+    # Bundled measured autotune defaults (utils/tuning._bundled_path) must
+    # ship in built distributions, not just the repo checkout.
+    package_data={"lowbit_quant_fa2_paddle_tpu.utils": ["tuning_defaults.json"]},
     ext_modules=[
         Extension(
             "lowbit_quant_fa2_paddle_tpu.host._lowbit_host",
