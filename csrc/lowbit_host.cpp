@@ -685,6 +685,32 @@ static PyObject* scheduler_preempt(PyObject*, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// scheduler_rollback(h, rid, n) — shrink a RUNNING request's stored length
+// by n tokens (speculative decode rejection: over-appended draft rows are
+// dead — every kernel masks pos < length — and the pages they may have
+// grown stay allocated for the immediate re-append). Length never drops
+// below 1.
+static PyObject* scheduler_rollback(PyObject*, PyObject* args) {
+  PyObject* cap;
+  int rid;
+  long long n;
+  if (!PyArg_ParseTuple(args, "OiL", &cap, &rid, &n)) return nullptr;
+  auto* s = get_sched(cap);
+  if (!s) return nullptr;
+  if (rid < 0 || static_cast<size_t>(rid) >= s->reqs.size() ||
+      s->reqs[rid].slot < 0) {
+    PyErr_SetString(PyExc_ValueError, "rid is not running");
+    return nullptr;
+  }
+  SchedRequest& r = s->reqs[rid];
+  if (n < 0 || n >= r.length) {
+    PyErr_SetString(PyExc_ValueError, "rollback out of range");
+    return nullptr;
+  }
+  r.length -= n;
+  return PyLong_FromLongLong(r.length);
+}
+
 // scheduler_trim(h, rid, upto) -> pages actually freed. Release the leading
 // `upto` LOGICAL pages of a RUNNING request (StreamingLLM rolling window):
 // shared prefix pages are unpinned, private pages freed, and each trimmed
@@ -823,6 +849,8 @@ static PyMethodDef Methods[] = {
      "[, lazy])"},
     {"scheduler_cancel", scheduler_cancel, METH_VARARGS,
      "remove a waiting request from the queue; unpins its shared pages"},
+    {"scheduler_rollback", scheduler_rollback, METH_VARARGS,
+     "shrink a running request's stored length (speculative rejection)"},
     {"scheduler_trim", scheduler_trim, METH_VARARGS,
      "release leading logical pages of a running request (rolling window)"},
     {"scheduler_preempt", scheduler_preempt, METH_VARARGS,

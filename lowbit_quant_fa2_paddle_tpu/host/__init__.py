@@ -357,6 +357,19 @@ class Scheduler:
         r["preempted"] = True
         self._waiting.insert(0, rid)
 
+    def rollback(self, rid: int, n: int) -> int:
+        """Shrink a RUNNING request's stored length by ``n`` tokens
+        (speculative-decode rejection): the over-appended rows are dead —
+        every kernel masks ``pos < length`` — and any pages they grew stay
+        allocated for the immediate re-append. Returns the new length."""
+        if self._h is not None:
+            return _native.scheduler_rollback(self._h, rid, int(n))
+        r = self._require_running(rid)
+        if n < 0 or n >= r["length"]:
+            raise ValueError("rollback out of range")
+        r["length"] -= int(n)
+        return r["length"]
+
     def trim(self, rid: int, upto: int, start: int = 0) -> int:
         """Release LOGICAL pages ``[start, upto)`` of a RUNNING request
         (StreamingLLM rolling window; ``start`` protects the sink anchors):

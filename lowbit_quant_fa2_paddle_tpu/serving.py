@@ -81,6 +81,16 @@ class ServingConfig:
     # memory bit-exactly and restored on resume, so generated tokens are
     # invariant to preemption).
     admission: str = "reserve"
+    # N-gram speculative decoding (prompt-lookup — vLLM's draft-model-free
+    # 'ngram' speculator): when spec_ngram > 0, each step drafts up to
+    # spec_k - 1 continuation tokens by matching the last spec_ngram tokens
+    # against the slot's own history, and scores ALL of them in ONE
+    # multi-token verify step (ops/decode.py q_tokens — one cache stream).
+    # Output is EXACTLY the non-speculative greedy generation; repetitive
+    # text (code, quotations, structured data) decodes several tokens per
+    # cache pass. Requires admission="reserve".
+    spec_ngram: int = 0
+    spec_k: int = 4
 
     @property
     def table_width(self) -> int:
@@ -361,6 +371,97 @@ def _decode_step(
     return logits, new_caches
 
 
+def _spec_decode_step(
+    params: Params,
+    caches: List[dict],
+    tokens: jax.Array,  # [B, T] int32 — fed token + n-gram drafts per slot
+    lengths: jax.Array,  # [B] int32 — stored tokens INCLUDING all T new
+    page_table: jax.Array,  # [B, W] int32
+    active: jax.Array,  # [B] bool
+    *,
+    cfg: L.LLMConfig,
+    page_size: int,
+    kv_bits: int,
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, List[dict]]:
+    """Speculative-verify twin of :func:`_decode_step`: write T tokens'
+    quantized K/V per slot, run the MULTI-TOKEN paged decode kernel
+    (ops/decode.py ``q_tokens`` — the T queries ride the sublane rows, so
+    verification costs one cache stream), return logits ``[B, T, vocab]``
+    where row t scores the successor of fed token t."""
+    b, t = tokens.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    n_pages = caches[0]["k"].shape[1]
+    x = params["embed"][tokens]  # [B,T,D]
+    pos = lengths[:, None] - t + jnp.arange(t)[None, :]  # [B,T]
+    kv_lengths = jnp.where(active, lengths, 0)
+    page_idx = jnp.clip(pos // page_size, 0, page_table.shape[1] - 1)
+    pid = jnp.where(
+        active[:, None], page_table[jnp.arange(b)[:, None], page_idx], n_pages
+    )  # [B,T]; inactive slots scatter to an out-of-range page id -> dropped
+    off = jnp.clip(pos, 0, None) % page_size
+
+    new_caches = []
+    for blk, cache in zip(params["blocks"], caches):
+        xa = L._rms_norm(x, blk["ln1"])
+        q = L._mm(xa, blk["wq"], interpret).reshape(b, t, h, hd).swapaxes(1, 2)
+        k = L._mm(xa, blk["wk"], interpret).reshape(b, t, hk, hd).swapaxes(1, 2)
+        v = L._mm(xa, blk["wv"], interpret).reshape(b, t, hk, hd).swapaxes(1, 2)
+        q = L._rope(q, pos, cfg.rope_theta)  # [B,H,T,hd]
+        k = L._rope(k, pos, cfg.rope_theta)  # [B,Hk,T,hd]
+        kq, ks = dec.quantize_token(k.swapaxes(1, 2), bits=kv_bits)  # [B,T,Hk,dk]
+        vq, vs = dec.quantize_token(v.swapaxes(1, 2), bits=kv_bits)
+        cache = {
+            "k": cache["k"].at[:, pid, off].set(
+                kq.transpose(2, 0, 1, 3), mode="drop"
+            ),
+            "v": cache["v"].at[:, pid, off].set(
+                vq.transpose(2, 0, 1, 3), mode="drop"
+            ),
+            "k_scale": cache["k_scale"].at[:, pid, off].set(
+                ks.transpose(2, 0, 1), mode="drop"
+            ),
+            "v_scale": cache["v_scale"].at[:, pid, off].set(
+                vs.transpose(2, 0, 1), mode="drop"
+            ),
+        }
+        o = dec.decode_attention(
+            q.swapaxes(1, 2),  # [B,T,H,hd]
+            cache["k"],
+            cache["v"],
+            cache["k_scale"],
+            kv_lengths,
+            v_scale=cache["v_scale"],
+            page_table=page_table,
+            kv_bits=kv_bits,
+            block_kv=page_size,
+            window_size=cfg.window_size,
+            sink_size=cfg.sink_size,
+            interpret=interpret,
+        )  # [B,T,H,hd]
+        x = x + L._mm(o.reshape(b, t, -1).astype(x.dtype), blk["wo"], interpret)
+        xm = L._rms_norm(x, blk["ln2"])
+        x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
+        new_caches.append(cache)
+
+    logits = L._rms_norm(x, params["ln_f"]) @ params["embed"].T  # [B,T,vocab]
+    return logits, new_caches
+
+
+def _ngram_draft(history: List[int], n: int, k: int) -> List[int]:
+    """Prompt-lookup drafting (the draft-model-free speculation vLLM ships
+    as 'ngram'): find the most recent PREVIOUS occurrence of the last n
+    tokens in the history and propose the k tokens that followed it."""
+    if len(history) < n + 1:
+        return []
+    key = history[-n:]
+    # scan right-to-left, excluding the match against the suffix itself
+    for s in range(len(history) - n - 1, -1, -1):
+        if history[s : s + n] == key:
+            return history[s + n : s + n + k]
+    return []
+
+
 @functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
 def _scatter_prefill_pages(
     caches: List[dict],
@@ -480,13 +581,37 @@ class ServingEngine:
             ),
             donate_argnums=(1,),
         )
+        self._spec_decode = None
+        self.spec_rounds = self.spec_accepted = 0
+        if scfg.spec_ngram > 0:
+            if scfg.admission != "reserve":
+                # The lazy path's page-pressure relief budgets ONE appended
+                # token per slot per tick; speculative steps append spec_k.
+                raise ValueError("spec_ngram requires admission='reserve'")
+            assert scfg.spec_k >= 2, "spec_k must leave room for >=1 draft"
+            self._history: Dict[int, List[int]] = {}
+            self._spec_decode = jax.jit(
+                functools.partial(
+                    _spec_decode_step,
+                    cfg=cfg,
+                    page_size=scfg.page_size,
+                    kv_bits=scfg.kv_bits,
+                    interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
 
     # -- request intake ----------------------------------------------------
 
     def add_request(self, prompt_tokens: Sequence[int], max_new_tokens: int) -> int:
         prompt = np.asarray(prompt_tokens, np.int32)
         assert prompt.ndim == 1 and prompt.size > 0
-        need_w = -(-(prompt.size + max_new_tokens - 1) // self.scfg.page_size)
+        # Speculative steps transiently append up to spec_k rows beyond the
+        # final accepted length — reserve (and table-width) the overshoot.
+        spec_slack = self.scfg.spec_k if self.scfg.spec_ngram > 0 else 0
+        need_w = -(
+            -(prompt.size + max_new_tokens + spec_slack - 1) // self.scfg.page_size
+        )
         if need_w > self.scfg.table_width:
             raise MemoryError("request exceeds the static page-table width")
         shared: List[int] = []
@@ -506,7 +631,9 @@ class ServingEngine:
             # length; trimmed logicals become holes.)
             cap = self.cfg.sink_size + self.cfg.window_size + 3 * self.scfg.page_size
             max_new_sched = max(1, min(max_new_sched, cap))
-        rid = self.sched.add(int(prompt.size), max_new_sched, shared)
+        rid = self.sched.add(int(prompt.size), max_new_sched + spec_slack, shared)
+        if self._spec_decode is not None:
+            self._history[rid] = [int(x) for x in prompt]
         self._shared[rid] = len(shared)
         self._waiting_rids.append(rid)
         self._prompts[rid] = prompt
@@ -616,6 +743,8 @@ class ServingEngine:
 
     def _retire(self, rid: int, slot: int) -> None:
         self.sched.release(rid)
+        if self._spec_decode is not None:
+            self._history.pop(rid, None)
         self._finished[rid] = self.outputs[rid]
         if rid in self._admit_order:
             self._admit_order.remove(rid)
@@ -650,6 +779,8 @@ class ServingEngine:
         else:
             raise ValueError(f"unknown rid {rid}")
         toks = self.outputs.get(rid, [])
+        if self._spec_decode is not None:
+            self._history.pop(rid, None)
         self._finished[rid] = toks
         self._max_new.pop(rid, None)
         return toks
@@ -691,32 +822,15 @@ class ServingEngine:
         slots = np.nonzero(self._active)[0]
         if slots.size and self.scfg.admission == "lazy":
             slots = self._relieve_page_pressure(slots)
-        if slots.size:
+        if slots.size and self._spec_decode is not None:
+            self._step_speculative(slots)
+        elif slots.size:
             for slot in slots:
                 rid = int(self._slot_rid[slot])
                 new_len = self.sched.append_token(rid)
                 assert new_len > 0, "page pressure relief failed"
                 self._lengths[slot] = new_len
-                if self.cfg.window_size is not None:
-                    # Rolling page reclamation (StreamingLLM): a page whose
-                    # last token sits entirely below every future window
-                    # start — and past the sink anchors — can never be
-                    # attended again; return it to the pool so unbounded
-                    # generation holds O(sink + window) pages per sequence.
-                    ps = self.scfg.page_size
-                    sink_pages = -(-self.cfg.sink_size // ps)
-                    reclaim = (new_len - self.cfg.window_size) // ps
-                    if reclaim > sink_pages:
-                        self.sched.trim(rid, reclaim, start=sink_pages)
-                pages = self.sched.page_table(rid)
-                if pages and min(pages) < 0:
-                    # -1 holes (trimmed logicals) must not reach the jnp
-                    # table: point them at the newest page — the clamped
-                    # kernel walk never reads below-window logicals, this
-                    # only keeps indices in range.
-                    safe = pages[-1]
-                    pages = [p if p >= 0 else safe for p in pages]
-                self._table[slot, : len(pages)] = pages
+                self._update_slot_table(slot, rid, new_len)
             logits, self.caches = self._decode(
                 self.params,
                 self.caches,
@@ -735,6 +849,85 @@ class ServingEngine:
                 else:
                     self._next_tok[slot] = tok
         return {r: t for r, t in self._finished.items() if r not in done_before}
+
+    def _update_slot_table(self, slot: int, rid: int, new_len: int,
+                           spec_slack: int = 0) -> None:
+        """Post-append bookkeeping: rolling page reclamation (StreamingLLM)
+        then the slot's page-table row. ``spec_slack``: a speculative step
+        may roll the length back by up to spec_slack, so trim only pages
+        below the WORST-CASE post-rollback window start."""
+        if self.cfg.window_size is not None:
+            # A page whose last token sits entirely below every future
+            # window start — and past the sink anchors — can never be
+            # attended again; return it to the pool so unbounded generation
+            # holds O(sink + window) pages per sequence.
+            ps = self.scfg.page_size
+            sink_pages = -(-self.cfg.sink_size // ps)
+            reclaim = (new_len - spec_slack - self.cfg.window_size) // ps
+            if reclaim > sink_pages:
+                self.sched.trim(rid, reclaim, start=sink_pages)
+        pages = self.sched.page_table(rid)
+        if pages and min(pages) < 0:
+            # -1 holes (trimmed logicals) must not reach the jnp table:
+            # point them at the newest page — the clamped kernel walk never
+            # reads below-window logicals, this only keeps indices in range.
+            safe = pages[-1]
+            pages = [p if p >= 0 else safe for p in pages]
+        self._table[slot, : len(pages)] = pages
+
+    def _step_speculative(self, slots: np.ndarray) -> None:
+        """One n-gram speculative tick: draft from each slot's own history,
+        append all spec_k fed rows, verify them in ONE multi-token decode,
+        accept the matching prefix + the target's correction token, roll
+        the unkept rows back. Token stream identical to the plain path
+        (the multi-token kernel rows match the single-token kernel)."""
+        t = self.scfg.spec_k
+        toks = np.zeros((self.scfg.max_batch, t), np.int32)
+        drafts: Dict[int, List[int]] = {}
+        for slot in slots:
+            rid = int(self._slot_rid[slot])
+            d = _ngram_draft(self._history[rid], self.scfg.spec_ngram, t - 1)
+            # never draft past the remaining budget: the emission below is
+            # at most len(d) + 1 tokens
+            rem = self._max_new[rid] - len(self.outputs[rid])
+            d = d[: max(0, rem - 1)]
+            drafts[rid] = d
+            toks[slot, 0] = self._next_tok[slot]
+            toks[slot, 1 : 1 + len(d)] = d
+            new_len = 0
+            for _ in range(t):
+                new_len = self.sched.append_token(rid)
+                assert new_len > 0, "speculative append outran the reservation"
+            self._lengths[slot] = new_len
+            self._update_slot_table(slot, rid, new_len, spec_slack=t - 1)
+        logits, self.caches = self._spec_decode(
+            self.params,
+            self.caches,
+            jnp.asarray(toks),
+            jnp.asarray(self._lengths),
+            jnp.asarray(self._table),
+            jnp.asarray(self._active),
+        )
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [B, T]
+        for slot in slots:
+            rid = int(self._slot_rid[slot])
+            d = drafts[rid]
+            g = greedy[slot]
+            m = 0
+            while m < len(d) and d[m] == int(g[m]):
+                m += 1
+            emit = d[:m] + [int(g[m])]
+            self.spec_rounds += 1
+            self.spec_accepted += m
+            keep = m + 1  # fed rows whose KV stays: [cur, d_1..d_m]
+            if keep < t:
+                self._lengths[slot] = self.sched.rollback(rid, t - keep)
+            self._history[rid].extend(emit)
+            self.outputs[rid].extend(emit)
+            if len(self.outputs[rid]) >= self._max_new[rid]:
+                self._retire(rid, slot)
+            else:
+                self._next_tok[slot] = emit[-1]
 
     def _relieve_page_pressure(self, slots: np.ndarray) -> np.ndarray:
         """Lazy admission's decode-time relief valve: before this tick's
@@ -788,4 +981,10 @@ class ServingEngine:
             s["cached_pages"] = len(self.prefix_cache)
             s["prefix_hits"] = self.prefix_cache.hits
             s["prefix_misses"] = self.prefix_cache.misses
+        if self._spec_decode is not None:
+            s["spec_rounds"] = self.spec_rounds
+            # tokens emitted per verify round = mean accepted + 1
+            s["spec_tokens_per_round"] = round(
+                (self.spec_accepted + self.spec_rounds) / max(1, self.spec_rounds), 3
+            )
         return s

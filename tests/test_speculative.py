@@ -159,6 +159,69 @@ def test_speculative_self_draft_accepts_everything(target_setup):
     assert stats["mean_accepted"] == stats["spec_k"]
 
 
+def _engine_tokens(cfg, params, prompts, max_new, **scfg_kw):
+    from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+    eng = ServingEngine(
+        params, cfg,
+        ServingConfig(page_size=8, num_pages=32, max_batch=2, **scfg_kw),
+    )
+    rids = [eng.add_request(p, max_new) for p in prompts]
+    done = eng.run()
+    return [done[r] for r in rids], eng
+
+
+def test_serving_ngram_spec_matches_plain():
+    """N-gram speculative serving emits EXACTLY the plain engine's greedy
+    tokens (single and batched), and actually accepts drafts on repetitive
+    histories (>1 token per verify round)."""
+    cfg = llm.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2, max_seq=256
+    )
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    # repetitive prompt: n-gram lookup has something to match, and random-
+    # weight greedy generation tends to settle into cycles (accept fuel)
+    prompts = [[5, 9, 3, 5, 9, 3, 5, 9, 3, 7], [11, 2, 11, 2, 11, 2, 4]]
+    plain, _ = _engine_tokens(cfg, params, prompts, 20)
+    spec, eng = _engine_tokens(
+        cfg, params, prompts, 20, spec_ngram=2, spec_k=4
+    )
+    assert spec == plain
+    st = eng.stats()
+    assert st["spec_rounds"] >= 1
+    assert st["spec_tokens_per_round"] >= 1.0
+    assert st["free_pages"] + st.get("cached_pages", 0) == st["num_pages"]
+
+
+def test_serving_ngram_spec_with_window():
+    """Speculation composes with the sliding window + rolling reclamation."""
+    cfg = llm.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2,
+        max_seq=256, window_size=12, sink_size=4,
+    )
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[5, 9, 3, 5, 9, 3, 5, 9, 3, 7]]
+    plain, _ = _engine_tokens(cfg, params, prompts, 24)
+    spec, eng = _engine_tokens(
+        cfg, params, prompts, 24, spec_ngram=2, spec_k=3
+    )
+    assert spec == plain
+    assert eng.stats()["spec_rounds"] >= 1
+
+
+def test_serving_spec_requires_reserve():
+    from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+    cfg = llm.tiny_llm_config(vocab=64, dim=64, depth=1, num_heads=2,
+                              num_kv_heads=1, max_seq=64)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg, ServingConfig(
+            page_size=8, num_pages=16, max_batch=1,
+            spec_ngram=2, admission="lazy",
+        ))
+
+
 def test_speculative_int4_self_draft(target_setup):
     """Self-speculation: the SAME weights drafting through an int4 KV cache
     (quarter-size draft stream); exactness still holds."""
