@@ -319,56 +319,15 @@ def _decode_step(
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[dict]]:
     """One batched decode step: write each active slot's new-token quantized
-    K/V into its page, run the paged decode kernel, return logits."""
-    b = tokens.shape[0]
-    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    n_pages = caches[0]["k"].shape[1]
-    x = params["embed"][tokens][:, None, :]
-    pos = lengths[:, None] - 1  # the new token's position
-    kv_lengths = jnp.where(active, lengths, 0)
-    page_idx = jnp.clip(pos[:, 0] // page_size, 0, page_table.shape[1] - 1)
-    # inactive slots scatter to an out-of-range page id -> dropped
-    pid = jnp.where(active, page_table[jnp.arange(b), page_idx], n_pages)
-    off = jnp.clip(pos[:, 0], 0, None) % page_size
-
-    new_caches = []
-    for blk, cache in zip(params["blocks"], caches):
-        xa = L._rms_norm(x, blk["ln1"])
-        q = L._mm(xa, blk["wq"], interpret).reshape(b, 1, h, hd).swapaxes(1, 2)
-        k = L._mm(xa, blk["wk"], interpret).reshape(b, 1, hk, hd).swapaxes(1, 2)
-        v = L._mm(xa, blk["wv"], interpret).reshape(b, 1, hk, hd).swapaxes(1, 2)
-        q = L._rope(q, pos, cfg.rope_theta)[:, :, 0]  # [B,H,D]
-        k = L._rope(k, pos, cfg.rope_theta)[:, :, 0]
-        v = v[:, :, 0]
-        kq, ks = dec.quantize_token(k, bits=kv_bits)  # [B,Hk,dk], [B,Hk]
-        vq, vs = dec.quantize_token(v, bits=kv_bits)
-        cache = {
-            "k": cache["k"].at[:, pid, off].set(kq.swapaxes(0, 1), mode="drop"),
-            "v": cache["v"].at[:, pid, off].set(vq.swapaxes(0, 1), mode="drop"),
-            "k_scale": cache["k_scale"].at[:, pid, off].set(ks.T, mode="drop"),
-            "v_scale": cache["v_scale"].at[:, pid, off].set(vs.T, mode="drop"),
-        }
-        o = dec.decode_attention(
-            q,
-            cache["k"],
-            cache["v"],
-            cache["k_scale"],
-            kv_lengths,
-            v_scale=cache["v_scale"],
-            page_table=page_table,
-            kv_bits=kv_bits,
-            block_kv=page_size,
-            window_size=cfg.window_size,
-            sink_size=cfg.sink_size,
-            interpret=interpret,
-        )  # [B,H,D]
-        x = x + L._mm(o.reshape(b, 1, -1).astype(x.dtype), blk["wo"], interpret)
-        xm = L._rms_norm(x, blk["ln2"])
-        x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
-        new_caches.append(cache)
-
-    logits = L._rms_norm(x[:, 0], params["ln_f"]) @ params["embed"].T
-    return logits, new_caches
+    K/V into its page, run the paged decode kernel, return logits. Exactly
+    the T=1 case of :func:`_spec_decode_step` — ONE transformer-step body
+    exists, so the speculative path's token-identical-to-plain guarantee is
+    structural, not coincidental."""
+    logits, new_caches = _spec_decode_step(
+        params, caches, tokens[:, None], lengths, page_table, active,
+        cfg=cfg, page_size=page_size, kv_bits=kv_bits, interpret=interpret,
+    )
+    return logits[:, 0], new_caches
 
 
 def _spec_decode_step(
@@ -448,18 +407,38 @@ def _spec_decode_step(
     return logits, new_caches
 
 
-def _ngram_draft(history: List[int], n: int, k: int) -> List[int]:
-    """Prompt-lookup drafting (the draft-model-free speculation vLLM ships
-    as 'ngram'): find the most recent PREVIOUS occurrence of the last n
-    tokens in the history and propose the k tokens that followed it."""
-    if len(history) < n + 1:
-        return []
-    key = history[-n:]
-    # scan right-to-left, excluding the match against the suffix itself
-    for s in range(len(history) - n - 1, -1, -1):
-        if history[s : s + n] == key:
-            return history[s + n : s + n + k]
-    return []
+class _NgramIndex:
+    """Prompt-lookup drafting index (the draft-model-free speculation vLLM
+    ships as 'ngram'): for the token history's current n-token suffix, find
+    the most recent PREVIOUS occurrence and propose the tokens that
+    followed it. Incremental — O(1) dict work per appended token — so
+    drafting cost stays flat at 128K-class histories instead of rescanning
+    the whole history every tick."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.toks: List[int] = []
+        self._last: Dict[tuple, int] = {}  # gram -> most recent start
+        self._prev: Dict[tuple, int] = {}  # gram -> start BEFORE _last
+
+    def extend(self, toks) -> None:
+        for t in toks:
+            self.toks.append(int(t))
+            i = len(self.toks)
+            if i >= self.n:
+                g = tuple(self.toks[i - self.n :])
+                if g in self._last:
+                    self._prev[g] = self._last[g]
+                self._last[g] = i - self.n
+
+    def draft(self, k: int) -> List[int]:
+        if len(self.toks) < self.n:
+            return []
+        g = tuple(self.toks[-self.n :])
+        s = self._prev.get(g)
+        if s is None:
+            return []
+        return self.toks[s + self.n : s + self.n + k]
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
@@ -588,8 +567,9 @@ class ServingEngine:
                 # The lazy path's page-pressure relief budgets ONE appended
                 # token per slot per tick; speculative steps append spec_k.
                 raise ValueError("spec_ngram requires admission='reserve'")
-            assert scfg.spec_k >= 2, "spec_k must leave room for >=1 draft"
-            self._history: Dict[int, List[int]] = {}
+            if scfg.spec_k < 2:
+                raise ValueError("spec_k must be >= 2 (room for >= 1 draft)")
+            self._ngram: Dict[int, _NgramIndex] = {}
             self._spec_decode = jax.jit(
                 functools.partial(
                     _spec_decode_step,
@@ -633,7 +613,8 @@ class ServingEngine:
             max_new_sched = max(1, min(max_new_sched, cap))
         rid = self.sched.add(int(prompt.size), max_new_sched + spec_slack, shared)
         if self._spec_decode is not None:
-            self._history[rid] = [int(x) for x in prompt]
+            self._ngram[rid] = _NgramIndex(self.scfg.spec_ngram)
+            self._ngram[rid].extend(prompt)
         self._shared[rid] = len(shared)
         self._waiting_rids.append(rid)
         self._prompts[rid] = prompt
@@ -687,6 +668,11 @@ class ServingEngine:
         slot = self.sched.info(rid)["slot"]
         tok = int(np.asarray(jnp.argmax(logits)))
         self.outputs[rid].append(tok)
+        if self._spec_decode is not None:
+            # The draft history must track prompt + EVERY emitted token —
+            # including this prefill-sampled one — or the n-gram key is
+            # misaligned at the prompt/generation boundary forever.
+            self._ngram[rid].extend([tok])
         if len(self.outputs[rid]) >= self._max_new[rid]:
             self._retire(rid, slot)
             return
@@ -744,7 +730,7 @@ class ServingEngine:
     def _retire(self, rid: int, slot: int) -> None:
         self.sched.release(rid)
         if self._spec_decode is not None:
-            self._history.pop(rid, None)
+            self._ngram.pop(rid, None)
         self._finished[rid] = self.outputs[rid]
         if rid in self._admit_order:
             self._admit_order.remove(rid)
@@ -780,7 +766,7 @@ class ServingEngine:
             raise ValueError(f"unknown rid {rid}")
         toks = self.outputs.get(rid, [])
         if self._spec_decode is not None:
-            self._history.pop(rid, None)
+            self._ngram.pop(rid, None)
         self._finished[rid] = toks
         self._max_new.pop(rid, None)
         return toks
@@ -886,7 +872,7 @@ class ServingEngine:
         drafts: Dict[int, List[int]] = {}
         for slot in slots:
             rid = int(self._slot_rid[slot])
-            d = _ngram_draft(self._history[rid], self.scfg.spec_ngram, t - 1)
+            d = self._ngram[rid].draft(t - 1)
             # never draft past the remaining budget: the emission below is
             # at most len(d) + 1 tokens
             rem = self._max_new[rid] - len(self.outputs[rid])
@@ -922,7 +908,7 @@ class ServingEngine:
             keep = m + 1  # fed rows whose KV stays: [cur, d_1..d_m]
             if keep < t:
                 self._lengths[slot] = self.sched.rollback(rid, t - keep)
-            self._history[rid].extend(emit)
+            self._ngram[rid].extend(emit)
             self.outputs[rid].extend(emit)
             if len(self.outputs[rid]) >= self._max_new[rid]:
                 self._retire(rid, slot)
