@@ -33,14 +33,50 @@ def main():
     p.add_argument("--w-bits", type=int, default=0, choices=[0, 8, 4],
                    help="weight precision (0 = dense; 8/4 = per-channel packed "
                         "weights through the fused Pallas matmul, ops/gemv.py)")
+    p.add_argument("--window", type=int, default=0,
+                   help="sliding-window attention (Mistral-class): banded "
+                        "prefill grid + rolling decode window, 0 = full causal")
+    p.add_argument("--sink", type=int, default=0,
+                   help="StreamingLLM attention sinks kept visible with "
+                        "--window (anchor tokens)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative decoding: draft this many tokens per "
+                        "round by self-speculation through an int4 KV cache "
+                        "and verify them in ONE multi-token cache stream "
+                        "(exact greedy; single-sequence demo path)")
     args = p.parse_args()
 
     cfg = llm.tiny_llm_config(
         vocab=1024, dim=args.dim, depth=4, num_heads=args.heads,
         num_kv_heads=args.kv_heads,
-        max_seq=args.prompt_len + args.new_tokens + 8,
+        max_seq=args.prompt_len + args.new_tokens + 8 + max(args.spec_k, 0),
         kv_bits=args.kv_bits,
+        window_size=args.window or None,
+        sink_size=args.sink,
     )
+    if args.spec_k:
+        import dataclasses
+
+        draft_cfg = dataclasses.replace(cfg, kv_bits=4)
+        params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(1), (1, args.prompt_len), 0, cfg.vocab
+        )
+        t0 = time.perf_counter()
+        toks, stats = llm.speculative_generate(
+            params, prompt, args.new_tokens, cfg,
+            draft_params=params, draft_cfg=draft_cfg,
+            spec_k=args.spec_k, return_stats=True,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"speculative decode (int4-cache self-draft, k={args.spec_k}): "
+            f"{args.new_tokens} tokens in {dt:.2f}s | "
+            f"{stats['mean_accepted']:.2f} drafts accepted/round over "
+            f"{stats['rounds']} rounds | exact greedy output"
+        )
+        print("generated token ids:", [int(t) for t in toks[0][:16]], "...")
+        return
     params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
     w_note = "dense"
     if args.w_bits:

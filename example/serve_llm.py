@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--page-size", type=int, default=16)
     ap.add_argument("--num-pages", type=int, default=64)
     ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window model: rolling decode window + "
+                         "page reclamation (0 = full causal)")
+    ap.add_argument("--sink", type=int, default=0,
+                    help="StreamingLLM sink tokens kept visible with --window")
+    ap.add_argument("--spec-ngram", type=int, default=0,
+                    help="n-gram speculative decoding: draft-model-free "
+                         "prompt lookup, one multi-token verify per tick "
+                         "(exact greedy)")
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args()
 
     cfg = L.tiny_llm_config(
@@ -43,6 +53,8 @@ def main():
         num_heads=args.heads,
         num_kv_heads=args.kv_heads,
         max_seq=args.page_size * args.num_pages,
+        window_size=args.window or None,
+        sink_size=args.sink,
     )
     params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
     eng = ServingEngine(
@@ -53,6 +65,8 @@ def main():
             num_pages=args.num_pages,
             max_batch=args.max_batch,
             kv_bits=args.kv_bits,
+            spec_ngram=args.spec_ngram,
+            spec_k=args.spec_k,
         ),
     )
 
@@ -78,8 +92,15 @@ def main():
     wall = time.perf_counter() - t0
     done = eng.finished
     total_tokens = sum(len(v) for v in done.values())
+    spec_note = ""
+    if args.spec_ngram:
+        spec_note = (
+            f" | speculative: {eng.stats()['spec_tokens_per_round']} "
+            f"tokens/verify-round"
+        )
     print(f"\n{len(rids)} requests, {total_tokens} tokens in {steps} steps, "
-          f"{wall:.2f} s wall ({total_tokens / wall:.1f} tok/s incl. compile)")
+          f"{wall:.2f} s wall ({total_tokens / wall:.1f} tok/s incl. compile)"
+          f"{spec_note}")
     for rid in rids:
         print(f"  rid {rid}: {done[rid][:12]}{'...' if args.max_new > 12 else ''}")
 
