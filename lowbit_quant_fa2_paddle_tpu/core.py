@@ -351,6 +351,7 @@ def lowbit_fa_qk_int8_pv_int8(
     return_lse: bool = False,
     *,
     window_size: Optional[int] = None,
+    sink_size: int = 0,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     pv_int8: bool = False,
@@ -403,6 +404,7 @@ def lowbit_fa_qk_int8_pv_int8(
             v_mean=v_mean,
             is_causal=is_causal,
             window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             out_dtype=v.dtype,
             return_lse=return_lse,
@@ -425,6 +427,7 @@ def lowbit_fa_qk_int8_pv_int8(
         pv_int8=pv_int8,
         is_causal=is_causal,
         window_size=window_size,
+        sink_size=sink_size,
         sm_scale=sm_scale,
         block_q=block_q,
         block_kv=block_kv,
@@ -452,6 +455,7 @@ def lowbit_fa_qk_int4_pv_fp16(
     *,
     smooth_q: bool = False,
     window_size: Optional[int] = None,
+    sink_size: int = 0,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     block_q: int = 1024,
@@ -516,6 +520,7 @@ def lowbit_fa_qk_int4_pv_fp16(
             k_packed_int4=True,
             is_causal=is_causal,
             window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             out_dtype=v.dtype,
             return_lse=return_lse,
@@ -548,6 +553,7 @@ def lowbit_fa_qk_int4_pv_fp16(
             k_mean=km,
             is_causal=is_causal,
             window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             block_q=block_q,
             block_kv=block_kv,
@@ -576,6 +582,7 @@ def lowbit_fa_qk_int4_pv_fp16(
         fused_quant_q=fuse_quant == "q",
         is_causal=is_causal,
         window_size=window_size,
+        sink_size=sink_size,
         sm_scale=sm_scale,
         k_packed_int4=True,
         block_q=block_q,
@@ -603,6 +610,7 @@ def lowbit_fa_qk_int2_pv_fp16(
     return_lse: bool = False,
     *,
     window_size: Optional[int] = None,
+    sink_size: int = 0,
     fuse_quant: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **kwargs,
@@ -633,7 +641,7 @@ def lowbit_fa_qk_int2_pv_fp16(
     out = lowbit_attention_km(
         q_in, k_packed, jnp.swapaxes(_pad_head_dim(v), 2, 3), q_scale, k_scale,
         fused_quant_q=fuse_q,
-        is_causal=is_causal, window_size=window_size,
+        is_causal=is_causal, window_size=window_size, sink_size=sink_size,
         sm_scale=sm_scale, k_pack_bits=2,
         out_dtype=v.dtype, return_lse=return_lse, interpret=interpret,
     )

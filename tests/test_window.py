@@ -97,12 +97,25 @@ def test_window_matches_full_causal_when_large():
 
 
 @pytest.mark.parametrize("bits", ["int8", "int8_v8", "int4", "int2"])
-def test_quantized_window_vs_oracle(bits):
+@pytest.mark.parametrize("sink", [0, 64])
+def test_quantized_window_vs_oracle(bits, sink):
+    """Every bits mode honors window AND sink (a swallowed-kwarg regression
+    here once silently dropped sink_size in the non-int8 wrappers)."""
     q, k, v = _qkv(s=1024)
-    ref = attention_reference(q, k, v, is_causal=True, window_size=320)
-    o = lq.lowbit_fa_attn(q, k, v, bits=bits, is_causal=True, window_size=320)
+    ref = attention_reference(
+        q, k, v, is_causal=True, window_size=320, sink_size=sink
+    )
+    o = lq.lowbit_fa_attn(
+        q, k, v, bits=bits, is_causal=True, window_size=320, sink_size=sink
+    )
     floor = {"int8": 0.999, "int8_v8": 0.998, "int4": 0.98, "int2": 0.85}[bits]
     assert _cos(o, ref) > floor
+    if sink:
+        # ...and the sink actually changes the output (kwarg not swallowed)
+        o_ns = lq.lowbit_fa_attn(
+            q, k, v, bits=bits, is_causal=True, window_size=320
+        )
+        assert not np.allclose(np.asarray(o), np.asarray(o_ns))
 
 
 def test_window_gqa():
