@@ -705,6 +705,13 @@ def lowbit_fa_varlen(
     qk_quant_gran: str = "per_token",
     smooth_k: bool = True,
     *,
+    # Sliding window in PACKED positions — equal to within-sequence
+    # distances for contiguously packed sequences (the varlen layout).
+    # sink_size anchors PACKED keys [0, sink): combined with the segment
+    # mask that means only the FIRST packed sequence has sink anchors —
+    # use sinks with single-sequence varlen batches.
+    window_size: Optional[int] = None,
+    sink_size: int = 0,
     kernel_space: str = "auto",
     fuse_quant: Optional[bool] = None,
     interpret: Optional[bool] = None,
@@ -765,6 +772,8 @@ def lowbit_fa_varlen(
             q_segment_ids=q_seg,
             kv_segment_ids=kv_seg,
             is_causal=is_causal,
+            window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             out_dtype=v.dtype,
             interpret=interpret,
@@ -806,6 +815,8 @@ def lowbit_fa_varlen(
         q_segment_ids=q_seg,
         kv_segment_ids=kv_seg,
         is_causal=is_causal,
+        window_size=window_size,
+        sink_size=sink_size,
         sm_scale=sm_scale,
         out_dtype=v.dtype,
         interpret=interpret,
