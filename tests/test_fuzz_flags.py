@@ -48,10 +48,13 @@ def _sample(seed):
         mask_split_q=r.random() < 0.5,
         mask_split_k=r.random() < 0.5,
         pv_int8=r.random() < 0.3,
+        # round-3 flags: sliding window (+ sink anchors), causal-only
+        window=r.choice([0, 0, 37, 100]),
+        sink=r.choice([0, 0, 40]),
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_flag_combination(seed):
     c = _sample(seed)
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
@@ -90,6 +93,9 @@ def test_flag_combination(seed):
         kw_q["bias"] = kw_k["bias"] = bias
     kw_q["logit_cap"] = kw_k["logit_cap"] = c["logit_cap"]
     kw_q["is_causal"] = kw_k["is_causal"] = c["causal"]
+    if c["causal"] and c["window"]:
+        kw_q["window_size"] = kw_k["window_size"] = c["window"]
+        kw_q["sink_size"] = kw_k["sink_size"] = c["sink"]
     kw_q["mask_split"] = c["mask_split_q"]
     kw_k["mask_split"] = c["mask_split_k"]
     if c["v_int8"] and c["pv_int8"]:
@@ -114,6 +120,8 @@ def test_flag_combination(seed):
     if c["bias"] is None:
         o_ref = attention_reference(
             q, k, v, is_causal=c["causal"],
+            window_size=kw_q.get("window_size"),
+            sink_size=kw_q.get("sink_size", 0),
             q_segment_ids=kw_q.get("q_segment_ids"),
             kv_segment_ids=kw_q.get("kv_segment_ids"),
             logit_cap=c["logit_cap"] or None,
@@ -122,12 +130,17 @@ def test_flag_combination(seed):
         # kernels output 0 there while the naive oracle emits the mean of V
         # (softmax of an all-masked row is uniform). Exclude those rows.
         valid = jnp.ones((c["b"], 1, c["sq"], 1), bool)
-        if c["causal"] or c["segments"]:
+        if c["causal"] or c["segments"] or kw_q.get("window_size"):
             qi = jnp.arange(c["sq"])[None, :, None]
             ki = jnp.arange(c["sk"])[None, None, :]
             m = jnp.ones((c["b"], c["sq"], c["sk"]), bool)
             if c["causal"]:
                 m = m & (ki <= qi)
+                if kw_q.get("window_size"):
+                    inw = ki + kw_q["window_size"] > qi
+                    if kw_q.get("sink_size"):
+                        inw = inw | (ki < kw_q["sink_size"])
+                    m = m & inw
             if c["segments"]:
                 m = m & (kw_q["q_segment_ids"][:, :, None]
                          == kw_q["kv_segment_ids"][:, None, :])
