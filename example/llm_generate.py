@@ -59,6 +59,8 @@ def main():
 
         draft_cfg = dataclasses.replace(cfg, kv_bits=4)
         params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+        if args.w_bits:
+            params = llm.quantize_llm_params(params, bits=args.w_bits)
         prompt = jax.random.randint(
             jax.random.PRNGKey(1), (1, args.prompt_len), 0, cfg.vocab
         )

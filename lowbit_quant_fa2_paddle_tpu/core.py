@@ -855,6 +855,8 @@ def lowbit_fa_multi_precision_jit(
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
+    window_size: Optional[int] = None,
+    sink_size: int = 0,
     fp16_threshold: float = 0.2,
     int8_threshold: float = 0.05,
     interpret: Optional[bool] = None,
@@ -869,7 +871,10 @@ def lowbit_fa_multi_precision_jit(
 
     def fp_branch(q, k, v):
         qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
-        o = flash_attention_fp(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret)
+        o = flash_attention_fp(
+            qh, kh, vh, is_causal=is_causal, window_size=window_size,
+            sink_size=sink_size, sm_scale=sm_scale, interpret=interpret,
+        )
         return _from_hnd(o.astype(v.dtype), tensor_layout)
 
     return jax.lax.switch(
@@ -878,10 +883,12 @@ def lowbit_fa_multi_precision_jit(
             fp_branch,
             lambda q, k, v: lowbit_fa_qk_int8_pv_fp16(
                 q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+                window_size=window_size, sink_size=sink_size,
                 sm_scale=sm_scale, interpret=interpret,
             ).astype(v.dtype),
             lambda q, k, v: lowbit_fa_qk_int4_pv_fp16(
                 q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+                window_size=window_size, sink_size=sink_size,
                 sm_scale=sm_scale, interpret=interpret,
             ).astype(v.dtype),
         ],
@@ -897,26 +904,37 @@ def lowbit_fa_multi_precision(
     tensor_layout: str = "HND",
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
+    window_size: Optional[int] = None,
+    sink_size: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Dynamic bit allocation at the call level (reference
     ``sageattn_multi_precision``, src/core.py:1066-1096): inspect tensor
     scales, dispatch fp16 / int8 / int4. Host-side dispatch — not jittable
     (the reference's is Python-level too); inside jit use
-    :func:`lowbit_fa_multi_precision_jit`."""
+    :func:`lowbit_fa_multi_precision_jit`. Window/sink semantics are
+    honored by EVERY branch (a silently full-causal fp branch would be a
+    wrong answer, not a fallback)."""
     choice = select_quantization(q, k)
     if choice == "fp16":
         # Unlike the reference's fp16 branch (which ignores tensor_layout —
         # SURVEY §"quirks"), honor the layout.
         qh, kh, vh = (_to_hnd(x, tensor_layout) for x in (q, k, v))
-        o = flash_attention_fp(qh, kh, vh, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret)
+        o = flash_attention_fp(
+            qh, kh, vh, is_causal=is_causal, window_size=window_size,
+            sink_size=sink_size, sm_scale=sm_scale, interpret=interpret,
+        )
         return _from_hnd(o.astype(v.dtype), tensor_layout)
     if choice == "int8":
         return lowbit_fa_qk_int8_pv_fp16(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            window_size=window_size, sink_size=sink_size,
+            sm_scale=sm_scale, interpret=interpret,
         )
     return lowbit_fa_qk_int4_pv_fp16(
-        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale, interpret=interpret
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+        window_size=window_size, sink_size=sink_size,
+        sm_scale=sm_scale, interpret=interpret,
     )
 
 
@@ -943,8 +961,13 @@ def lowbit_fa_attn(
     'int8' | 'int8_v8' (int8 V, the fp8-PV analog) | 'int4' | 'fp' | 'auto'.
     """
     if bits == "auto":
+        assert not return_lse, "bits='auto' does not export LSE (pick a bits mode)"
         return lowbit_fa_multi_precision(
-            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal, sm_scale=sm_scale
+            q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+            sm_scale=sm_scale,
+            window_size=kwargs.pop("window_size", None),
+            sink_size=kwargs.pop("sink_size", 0),
+            interpret=kwargs.pop("interpret", None),
         )
     if bits == "int8":
         return lowbit_fa_qk_int8_pv_fp16(

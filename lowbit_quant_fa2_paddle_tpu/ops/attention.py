@@ -1525,6 +1525,7 @@ def flash_attention_fp(
     *,
     is_causal: bool = False,
     window_size: Optional[int] = None,
+    sink_size: int = 0,
     sm_scale: Optional[float] = None,
     schedule: str = "auto",
     block_q: Optional[int] = None,
@@ -1552,6 +1553,7 @@ def flash_attention_fp(
             None,
             is_causal=is_causal,
             window_size=window_size,
+            sink_size=sink_size,
             sm_scale=sm_scale,
             block_q=block_q,
             block_kv=block_kv,
@@ -1570,6 +1572,7 @@ def flash_attention_fp(
         None,
         is_causal=is_causal,
         window_size=window_size,
+        sink_size=sink_size,
         sm_scale=sm_scale,
         block_q=block_q if block_q is not None else 1024,
         block_kv=block_kv if block_kv is not None else 1024,

@@ -96,7 +96,7 @@ def test_window_matches_full_causal_when_large():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("bits", ["int8", "int8_v8", "int4", "int2"])
+@pytest.mark.parametrize("bits", ["fp", "auto", "int8", "int8_v8", "int4", "int2"])
 @pytest.mark.parametrize("sink", [0, 64])
 def test_quantized_window_vs_oracle(bits, sink):
     """Every bits mode honors window AND sink (a swallowed-kwarg regression
@@ -108,7 +108,9 @@ def test_quantized_window_vs_oracle(bits, sink):
     o = lq.lowbit_fa_attn(
         q, k, v, bits=bits, is_causal=True, window_size=320, sink_size=sink
     )
-    floor = {"int8": 0.999, "int8_v8": 0.998, "int4": 0.98, "int2": 0.85}[bits]
+    # "auto" may pick any branch incl. int4 (gaussian data has small scales)
+    floor = {"fp": 0.999, "auto": 0.98, "int8": 0.999, "int8_v8": 0.998,
+             "int4": 0.98, "int2": 0.85}[bits]
     assert _cos(o, ref) > floor
     if sink:
         # ...and the sink actually changes the output (kwarg not swallowed)
@@ -135,6 +137,29 @@ def test_window_lse():
     )
     assert _cos(o, ref) > 0.999
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=0.02)
+
+
+def test_window_varlen_api():
+    """lowbit_fa_varlen honors window (packed positions == within-sequence
+    distances for contiguous packing) — the public cu_seqlens surface."""
+    t, h, d, w = 512, 4, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (t, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (t, h, d), jnp.float32)
+    cu = jnp.asarray([0, 300, 512], jnp.int32)
+    o = lq.lowbit_fa_varlen(q, k, v, cu, cu, is_causal=True, window_size=w)
+    # oracle: per-sequence windowed causal
+    seg = jnp.concatenate([jnp.zeros(300, jnp.int32), jnp.ones(212, jnp.int32)])[None]
+    ref = attention_reference(
+        jnp.swapaxes(q, 0, 1)[None], jnp.swapaxes(k, 0, 1)[None],
+        jnp.swapaxes(v, 0, 1)[None],
+        is_causal=True, window_size=w, q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    assert _cos(jnp.swapaxes(o, 0, 1)[None], ref) > 0.999
+    # window actually active (differs from full-causal varlen)
+    o_full = lq.lowbit_fa_varlen(q, k, v, cu, cu, is_causal=True)
+    assert not np.allclose(np.asarray(o), np.asarray(o_full))
 
 
 def test_window_varlen_segments():
