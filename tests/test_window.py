@@ -184,6 +184,36 @@ def test_window_varlen_segments():
     assert _cos(o, ref) > 0.999
 
 
+def test_ulysses_and_tp_windowed_match_dense():
+    """window_size flows through the Ulysses and head-TP facades (after the
+    Ulysses all-to-all each device holds the FULL sequence for its head
+    subset, so global window positions are exact)."""
+    from lowbit_quant_fa2_paddle_tpu.parallel.mesh import make_mesh
+    from lowbit_quant_fa2_paddle_tpu.parallel.sharded import (
+        make_head_parallel_attention,
+    )
+    from lowbit_quant_fa2_paddle_tpu.parallel.ulysses import (
+        make_ulysses_attention,
+    )
+
+    b, h, s, d, w = 1, 4, 512, 64, 100
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    ref = attention_reference(q, k, v, is_causal=True, window_size=w)
+
+    mesh_u = make_mesh({"seq": 4})
+    o_u = make_ulysses_attention(mesh_u, is_causal=True, window_size=w)(q, k, v)
+    assert _cos(o_u, ref) > 0.999
+
+    mesh_tp = make_mesh({"data": 1, "model": 4})
+    o_tp = make_head_parallel_attention(
+        mesh_tp, is_causal=True, window_size=w
+    )(q, k, v)
+    assert _cos(o_tp, ref) > 0.999
+
+
 def test_ring_windowed_matches_dense_and_drops_hops():
     """Windowed ring attention over the 8-device CPU mesh: matches the
     dense windowed oracle, and the rotation stops after the window's hop
