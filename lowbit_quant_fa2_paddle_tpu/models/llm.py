@@ -35,9 +35,14 @@ class LLMConfig:
     max_seq: int = 512
     rope_theta: float = 10000.0
     dtype: Any = jnp.float32
-    # KV-cache precision: 8 (int8, the latency point) or 4 (nibble-packed
-    # int4, quarter-size cache); see ops/decode.py + DECODE_TPU.json.
+    # KV-cache precision: 16 (bf16 baseline), 8 (int8, the latency point) or
+    # 4 (nibble-packed int4, quarter-size cache); see ops/decode.py +
+    # DECODE_TPU.json. `k_bits`/`v_bits` override per side — e.g. the
+    # KIVI-style k4v8 mix (4-bit K, 8-bit V), the measured 128K decode
+    # latency AND 3/8-memory winner.
     kv_bits: int = 8
+    k_bits: Optional[int] = None
+    v_bits: Optional[int] = None
     # Weight precision: None = dense bf16/f32; 8/4 = per-channel symmetric
     # packed weights run through the fused Pallas matmul (ops/gemv.py;
     # int8 measured 2.13x over dense at decode shapes, int4 1.56x at
@@ -55,6 +60,14 @@ class LLMConfig:
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads
+
+    @property
+    def eff_k_bits(self) -> int:
+        return self.kv_bits if self.k_bits is None else self.k_bits
+
+    @property
+    def eff_v_bits(self) -> int:
+        return self.kv_bits if self.v_bits is None else self.v_bits
 
 
 def tiny_llm_config(**kw) -> LLMConfig:
@@ -216,10 +229,17 @@ def llm_prefill(
         x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
 
         # Build the layer's quantized cache from the prefill K/V.
-        cache = dec.init_kv_cache(b, hk, cfg.max_seq, hd, bits=cfg.kv_bits)
-        qtok = functools.partial(dec.quantize_token, bits=cfg.kv_bits)
-        kq, ks = jax.vmap(qtok, in_axes=2, out_axes=2)(k)
-        vq, vs = jax.vmap(qtok, in_axes=2, out_axes=2)(v)
+        cache = dec.init_kv_cache(
+            b, hk, cfg.max_seq, hd, k_bits=cfg.eff_k_bits, v_bits=cfg.eff_v_bits
+        )
+        kq, ks = jax.vmap(
+            functools.partial(dec.quantize_token, bits=cfg.eff_k_bits),
+            in_axes=2, out_axes=2,
+        )(k)
+        vq, vs = jax.vmap(
+            functools.partial(dec.quantize_token, bits=cfg.eff_v_bits),
+            in_axes=2, out_axes=2,
+        )(v)
         cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, 0, 0))
         cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, 0, 0))
         cache["k_scale"] = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, 0, 0))
@@ -261,7 +281,8 @@ def llm_decode_step(
             cache["k_scale"],
             cache["length"],
             v_scale=cache["v_scale"],
-            kv_bits=cfg.kv_bits,
+            k_bits=cfg.eff_k_bits,
+            v_bits=cfg.eff_v_bits,
             window_size=cfg.window_size,
             sink_size=cfg.sink_size,
             interpret=interpret,
@@ -274,6 +295,39 @@ def llm_decode_step(
     return logits, new_caches
 
 
+def decode_tokens(
+    params: Params,
+    token: jax.Array,  # [B] — the token being fed at the current position
+    caches: list,
+    n: int,
+    cfg: LLMConfig,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, list]:
+    """Greedy-decode ``n`` tokens as ONE on-device ``lax.scan`` over
+    :func:`llm_decode_step` — a single dispatch per generation segment, so
+    the host->device round-trip cost amortizes across all ``n`` tokens
+    instead of bounding per-token latency (the round-3 "launch-overhead-
+    bound" failure mode of the per-step host loop). Returns
+    ``(tokens [B, n], caches)``; token ``i`` is the greedy successor of the
+    position at which the input ``token`` was fed plus ``i`` steps.
+
+    Bit-identical to looping :func:`llm_decode_step` on the host (same
+    computation, same argmax); the caches ride the scan carry so XLA updates
+    them in place."""
+
+    def step(carry, _):
+        tok, cs = carry
+        logits, cs = llm_decode_step(params, tok, cs, cfg, interpret=interpret)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cs), nxt
+
+    (_, caches), toks = jax.lax.scan(
+        step, (token.astype(jnp.int32), caches), None, length=n
+    )
+    return jnp.swapaxes(toks, 0, 1), caches
+
+
 def generate(
     params: Params,
     prompt: jax.Array,  # [B, S]
@@ -283,19 +337,19 @@ def generate(
     attn_impl: str = "int8",
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Greedy generation: int8 prefill + quantized-cache decode loop (the
-    decode step is jitted once; caches/params are pytrees)."""
+    """Greedy generation: int8 prefill + ONE scanned decode dispatch
+    (:func:`decode_tokens`; caches donated so the KV buffers update in
+    place)."""
     logits, caches = llm_prefill(params, prompt, cfg, attn_impl=attn_impl, interpret=interpret)
     token = jnp.argmax(logits[:, -1], axis=-1)
-    step = jax.jit(
-        functools.partial(llm_decode_step, cfg=cfg, interpret=interpret)
+    if n_new == 1:
+        return token[:, None]
+    dec_n = jax.jit(
+        functools.partial(decode_tokens, n=n_new - 1, cfg=cfg, interpret=interpret),
+        donate_argnums=(2,),
     )
-    out = [token]
-    for _ in range(n_new - 1):
-        logits, caches = step(params, token, caches)
-        token = jnp.argmax(logits, axis=-1)
-        out.append(token)
-    return jnp.stack(out, axis=1)
+    toks, _ = dec_n(params, token, caches)
+    return jnp.concatenate([token[:, None], toks], axis=1)
 
 
 def llm_verify_step(
@@ -337,7 +391,8 @@ def llm_verify_step(
             cache["k_scale"],
             cache["length"],
             v_scale=cache["v_scale"],
-            kv_bits=cfg.kv_bits,
+            k_bits=cfg.eff_k_bits,
+            v_bits=cfg.eff_v_bits,
             window_size=cfg.window_size,
             sink_size=cfg.sink_size,
             interpret=interpret,

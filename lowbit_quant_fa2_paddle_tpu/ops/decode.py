@@ -368,7 +368,9 @@ def decode_attention(
         q_tokens = 1
     k_bits = kv_bits if k_bits is None else k_bits
     v_bits = kv_bits if v_bits is None else v_bits
-    assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
+    # 16 = unquantized float cache (the bf16 baseline mode): full-width
+    # K/V tiles on the f32 compute chain, scales expected to be ones.
+    assert k_bits in (16, 8, 4) and v_bits in (16, 8, 4), (k_bits, v_bits)
     assert compute_mode in ("auto", "int", "int_qk", "f32"), compute_mode
     k_is_int = k_cache.dtype == jnp.int8
     # auto: int8-K streams codes straight to the MXU; packed int4-K keeps
@@ -473,7 +475,9 @@ def decode_attention(
         # r3, b1 hk8 d128 128K int8: bk2048 x hb4 = 678 GB/s vs the r2
         # hb1 x bk2048 = 543; bf16 already moves 2 MB at bk4096 x hb1 and
         # is insensitive). More than ~2 MB shows no further gain.
-        step_bytes = block_kv * (d_ck + d_cv + 8)  # codes + f32 scale rows
+        step_bytes = block_kv * (
+            d_ck * k_cache.dtype.itemsize + d_cv * v_cache.dtype.itemsize + 8
+        )  # codes/rows + f32 scale rows
         heads_per_step = cdiv(2 << 20, max(step_bytes, 1))
     hb = max(1, min(heads_per_step, hk))
     while hk % hb:  # round UP to the next divisor of hk (more DMA, not less)
@@ -588,13 +592,20 @@ def init_kv_cache(
 ) -> dict:
     """Contiguous int8 (or nibble-packed int4) KV cache with per-token
     scales. ``k_bits``/``v_bits`` override ``bits`` per cache side (e.g. the
-    KIVI-style mixed config K=4 V=8)."""
+    KIVI-style mixed config K=4 V=8). ``bits=16`` builds the unquantized
+    bf16 baseline cache (scales stay ones)."""
     k_bits = bits if k_bits is None else k_bits
     v_bits = bits if v_bits is None else v_bits
-    assert k_bits in (8, 4) and v_bits in (8, 4), (k_bits, v_bits)
+    assert k_bits in (16, 8, 4) and v_bits in (16, 8, 4), (k_bits, v_bits)
+
+    def buf(nbits):
+        if nbits == 16:
+            return jnp.zeros((b, hk, s_max, d), jnp.bfloat16)
+        return jnp.zeros((b, hk, s_max, d if nbits == 8 else d // 2), jnp.int8)
+
     return {
-        "k": jnp.zeros((b, hk, s_max, d if k_bits == 8 else d // 2), jnp.int8),
-        "v": jnp.zeros((b, hk, s_max, d if v_bits == 8 else d // 2), jnp.int8),
+        "k": buf(k_bits),
+        "v": buf(v_bits),
         "k_scale": jnp.ones((b, hk, s_max), jnp.float32),
         "v_scale": jnp.ones((b, hk, s_max), jnp.float32),
         "length": jnp.zeros((b,), jnp.int32),
@@ -604,7 +615,10 @@ def init_kv_cache(
 def quantize_token(x: jax.Array, *, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
     """Per-token symmetric quant of new-token K/V rows ``[B, Hk, D]``.
     ``bits=4`` returns nibble-packed ``[B, Hk, D//2]`` codes (halves-of-D
-    layout, matching ops/quant.quant_int4)."""
+    layout, matching ops/quant.quant_int4). ``bits=16`` stores raw bf16
+    rows with unit scales (the unquantized baseline cache)."""
+    if bits == 16:
+        return x.astype(jnp.bfloat16), jnp.ones(x.shape[:-1], jnp.float32)
     qmax = INT8_QMAX if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = amax / qmax + EPS
@@ -618,18 +632,20 @@ def quantize_token(x: jax.Array, *, bits: int = 8) -> Tuple[jax.Array, jax.Array
     return codes.astype(jnp.int8), scale[..., 0]
 
 
+def cache_bits(buf: jax.Array, new_row: jax.Array) -> int:
+    """Infer a cache side's bit depth from its dtype/packed width (kept out
+    of the dict so the cache stays a pure array pytree under jit)."""
+    if buf.dtype != jnp.int8:
+        return 16
+    return 8 if buf.shape[-1] == new_row.shape[-1] else 4
+
+
 def append_kv(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
     """Quantize and append one token's K/V ``[B, Hk, D]`` at each sequence's
     current length (the streaming-cache role of the reference's
     quant_and_pack_kcache/vcache, new_pack.py:9-144)."""
-    # Packed widths identify each side's bit depth (kept out of the dict so
-    # the cache stays a pure array pytree under jit).
-    kq, ks = quantize_token(
-        k_new, bits=8 if cache["k"].shape[-1] == k_new.shape[-1] else 4
-    )
-    vq, vs = quantize_token(
-        v_new, bits=8 if cache["v"].shape[-1] == v_new.shape[-1] else 4
-    )
+    kq, ks = quantize_token(k_new, bits=cache_bits(cache["k"], k_new))
+    vq, vs = quantize_token(v_new, bits=cache_bits(cache["v"], v_new))
     length = cache["length"]
 
     def upd_codes(buf, val):
@@ -657,12 +673,8 @@ def append_kv_multi(cache: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
     :func:`append_kv` (per-token scales are position-independent, so the
     T appended rows are bit-identical to appending them one at a time)."""
     t = k_new.shape[2]
-    kq, ks = quantize_token(
-        k_new, bits=8 if cache["k"].shape[-1] == k_new.shape[-1] else 4
-    )
-    vq, vs = quantize_token(
-        v_new, bits=8 if cache["v"].shape[-1] == v_new.shape[-1] else 4
-    )
+    kq, ks = quantize_token(k_new, bits=cache_bits(cache["k"], k_new))
+    vq, vs = quantize_token(v_new, bits=cache_bits(cache["v"], v_new))
     length = cache["length"]
 
     def upd_codes(buf, val):

@@ -94,3 +94,20 @@ def attention_flops(b: int, h: int, d: int, s_q: int, s_k: int, causal: bool) ->
 
 def tflops(flops: int, seconds: float) -> float:
     return flops / seconds / 1e12
+
+
+def device_memory_stats(device=None) -> dict:
+    """Device memory accounting for bench artifacts (the reference reports
+    peak memory per e2e run, example/parallel_sageattn_cogvideo.py:100-104).
+    Returns {} when the backend doesn't expose memory_stats (CPU/interpret)."""
+    d = device if device is not None else jax.devices()[0]
+    try:
+        s = d.memory_stats() or {}
+    except Exception:
+        return {}
+    keys = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+            "largest_alloc_size")
+    out = {k: int(s[k]) for k in keys if k in s}
+    if "peak_bytes_in_use" in out:
+        out["peak_gb"] = round(out["peak_bytes_in_use"] / 2**30, 3)
+    return out

@@ -89,3 +89,40 @@ def test_prefill_native_transposed_matches_int8():
     lo_e, _ = llm.llm_prefill(params, prompt, cfg, attn_impl="exact")
     agree = (jnp.argmax(lo_t[:, -1], -1) == jnp.argmax(lo_e[:, -1], -1)).mean()
     assert float(agree) == 1.0
+
+
+def test_decode_tokens_matches_host_loop():
+    """The scanned decode segment is bit-identical to the per-step host loop."""
+    cfg, params, prompt = _setup()
+    logits, caches = llm.llm_prefill(params, prompt, cfg)
+    tok = jnp.argmax(logits[:, -1], -1)
+    toks_scan, _ = llm.decode_tokens(params, tok, caches, 5, cfg)
+    t, cs = tok, caches
+    loop = []
+    for _ in range(5):
+        lo, cs = llm.llm_decode_step(params, t, cs, cfg)
+        t = jnp.argmax(lo, -1)
+        loop.append(t)
+    np.testing.assert_array_equal(np.asarray(toks_scan), np.stack([np.asarray(x) for x in loop], 1))
+
+
+def test_generate_bf16_cache_baseline():
+    """kv_bits=16 (unquantized bf16 cache) is the decode-bench baseline mode."""
+    cfg = llm.tiny_llm_config(max_seq=64, kv_bits=16)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    toks16 = llm.generate(params, prompt, 4, cfg)
+    toks8 = llm.generate(params, prompt, 4, llm.tiny_llm_config(max_seq=64, kv_bits=8))
+    assert toks16.shape == (2, 4)
+    assert float((toks16 == toks8).mean()) >= 0.75
+
+
+def test_generate_k4v8_cache():
+    """Mixed-precision k4v8 cache (the measured 128K latency+memory winner)."""
+    cfg = llm.tiny_llm_config(max_seq=64, kv_bits=8, k_bits=4)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab)
+    toks = llm.generate(params, prompt, 4, cfg)
+    assert toks.shape == (2, 4)
+    toks8 = llm.generate(params, prompt, 4, llm.tiny_llm_config(max_seq=64))
+    assert float((toks == toks8).mean()) >= 0.75
