@@ -47,6 +47,25 @@ def build_variant(bits, q, k, v, vq_int8, causal, space="k"):
     if bits == "fp":
         return (lambda a, b, c: flash_attention_fp(a, b, c, is_causal=causal), (q, k, v), False)
     km = space == "k"
+    if bits == "int8_baseline":
+        # Fake-scale diagnostic row (reference utils/benchmark.py:74-176):
+        # real int8 codes but UNIT scales, isolating kernel cost from the
+        # quantization pipeline — timing-only (output scale is wrong by
+        # construction, so no accuracy columns).
+        qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds" if km else "ns")
+        kc, ks = q_ops.quant_int8(k, gran="per_token")
+        qs1, ks1 = jnp.ones_like(qs), jnp.ones_like(ks)
+        if km:
+            return (
+                lambda a, b, c, d, e: lowbit_attention_km(a, b, c, d, e, is_causal=causal),
+                (qc, kc, jnp.swapaxes(v, 2, 3), qs1, ks1),
+                True,
+            )
+        return (
+            lambda a, b, c, d, e: lowbit_attention(a, b, c, d, e, is_causal=causal),
+            (qc, kc, v, qs1, ks1),
+            False,
+        )
     if bits in ("int8", "int8_v8"):
         qc, qs = q_ops.quant_int8(q, gran="per_token", layout="ds" if km else "ns")
         kc, ks = q_ops.quant_int8(k, gran="per_token")
@@ -122,7 +141,8 @@ def main():
     p.add_argument("--head_dim", type=int, default=64)
     p.add_argument("--seq_lens", type=int, nargs="+", default=[1024, 2048, 4096, 8192])
     p.add_argument("--bits", nargs="+", default=["fp", "int8", "int8_v8", "int4"],
-                   choices=["fp", "int8", "int8_v8", "int4", "int2", "kivi4"])
+                   choices=["fp", "int8", "int8_baseline", "int8_v8", "int4",
+                            "int2", "kivi4"])
     p.add_argument("--causal", action="store_true")
     p.add_argument("--space", default="k", choices=["k", "q"],
                    help="kernel schedule: k-major (API default) or q-major")
@@ -166,7 +186,7 @@ def main():
                 "tflops": round(tflops(flops, t), 2),
                 "ms": round(t * 1e3, 3),
             }
-            if o_ref is not None and bits != "fp":
+            if o_ref is not None and bits not in ("fp", "int8_baseline"):
                 row["cos_vs_fp"] = round(float(cosine_similarity(o, o_ref)), 6)
                 row["mse_vs_fp"] = float(mse(o, o_ref))
             results.append(row)

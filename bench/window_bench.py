@@ -71,7 +71,11 @@ def decode_rows(rows):
     vc, vsc = quant_int8(v, gran="per_token")
     variants = {
         "full_1tok": (q1, {}),
+        # compacted banded walk (default) vs the r3 dead-step walk —
+        # same outputs (asserted below), only the grid differs
         "window8k_1tok": (q1, {"window_size": 8192}),
+        "window8k_deadsteps_1tok": (
+            q1, {"window_size": 8192, "compact_window": False}),
         "window8k_sink128_1tok": (q1, {"window_size": 8192, "sink_size": 128}),
         "full_verify4": (q4, {}),
     }
@@ -86,13 +90,29 @@ def decode_rows(rows):
         )
         for name, (qq, kw) in variants.items()
     }
-    for f, qq in fns.values():
-        jax.block_until_ready(f(qq, kc, vc, ksc, vsc, lengths))
-    base = None
+    outs = {}
     for name, (f, qq) in fns.items():
-        t = measure_op_time(
-            f, (qq, kc, vc, ksc, vsc, lengths), r1=60, r2=180, samples=8
-        )
+        outs[name] = jax.block_until_ready(f(qq, kc, vc, ksc, vsc, lengths))
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(outs["window8k_1tok"]),
+        np.asarray(outs["window8k_deadsteps_1tok"]),
+    )  # compaction changes the walk, never the math
+    # Interleaved min-of-rounds: single measure_op_time calls on sub-0.2 ms
+    # kernels flap bimodally on this transport even at 60/180/8 (observed
+    # 76 vs 176 us for the same jitted fn minutes apart); three rounds
+    # visiting every variant in turn, min per variant, is the estimator
+    # that has agreed across processes.
+    times = {name: float("inf") for name in fns}
+    for _ in range(3):
+        for name, (f, qq) in fns.items():
+            t = measure_op_time(
+                f, (qq, kc, vc, ksc, vsc, lengths), r1=60, r2=180, samples=8
+            )
+            times[name] = min(times[name], t)
+    base = None
+    for name in fns:
+        t = times[name]
         base = base or t
         row = {
             "bench": "decode_int8_128K_b1h32hk8d128",

@@ -82,6 +82,8 @@ def _decode_kernel(
     sink: int = 0,
     q_tokens: int = 1,
     group: int = 1,
+    compact: bool = False,
+    sink_pages: int = 0,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -112,6 +114,22 @@ def _decode_kernel(
     start = None
     if window > 0:
         start = jnp.maximum(length - (q_tokens - 1) - window, 0)
+    if compact:
+        # Compacted banded walk: the page grid dim holds ONLY
+        # sink_pages + in-window pages (a static count derived from the
+        # window), so below-window pages cost zero grid steps — the decode
+        # twin of the prefill kernels' table-compacted banded grid. Step j
+        # maps to logical page j (sink phase) or window_start_page +
+        # (j - sink_pages) (window phase); the two phases partition the
+        # visible key set disjointly (sink: pos < sink; window:
+        # pos >= max(limit - window, sink)), so a page visited by both
+        # phases never double-counts a position.
+        is_sink_step = j < sink_pages if sink_pages else False
+        ws = jnp.maximum(start, sink) // block_kv
+        jr = ws + (j - sink_pages)
+        j_act = jnp.where(is_sink_step, j, jr) if sink_pages else jr
+    else:
+        j_act = j
 
     def _head_block(t):
         rows = slice(t * gp, (t + 1) * gp)
@@ -179,7 +197,7 @@ def _decode_kernel(
             # tanh capping in natural space (reference quant_sglang logit_cap)
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = s * LOG2E
-        pos = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = j_act * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if q_tokens > 1:
             # Per-row causal limit: row r belongs to query token r // group.
             row_t = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // group
@@ -187,7 +205,22 @@ def _decode_kernel(
         else:
             limit = length
         valid = pos < limit
-        if window is not None and window > 0:
+        if compact:
+            # Disjoint phase partition of the visible set (see j_act above).
+            # NB: composed with and/or, never jnp.where — Mosaic cannot
+            # legalize arith.select on i1 VECTORS (compiles only in
+            # interpret mode).
+            win_ok = pos >= limit - window
+            if sink > 0:
+                win_ok = jnp.logical_and(win_ok, pos >= sink)
+                phase = jnp.logical_or(
+                    jnp.logical_and(is_sink_step, pos < sink),
+                    jnp.logical_and(jnp.logical_not(is_sink_step), win_ok),
+                )
+            else:
+                phase = win_ok
+            valid = jnp.logical_and(valid, phase)
+        elif window is not None and window > 0:
             inw = pos >= limit - window
             if sink > 0:
                 # StreamingLLM anchors: keys [0, sink) stay visible.
@@ -255,8 +288,16 @@ def _decode_kernel(
         acc_scr[rows] = acc_scr[rows] * alpha[:, :1] + pv
 
 
-    live = j * block_kv < length
-    if start is not None:
+    live = j_act * block_kv < length
+    if compact:
+        if sink_pages:
+            live = jnp.logical_and(
+                live,
+                jnp.logical_or(
+                    jnp.logical_not(is_sink_step), j * block_kv < sink
+                ),
+            )
+    elif start is not None:
         in_band = j * block_kv + block_kv > start
         if sink > 0:
             in_band = jnp.logical_or(in_band, j * block_kv < sink)
@@ -303,6 +344,11 @@ def decode_attention(
     # stay visible (their pages keep streaming; the gap between sink and
     # window is predicated off and DMA-clamped).
     sink_size: int = 0,
+    # Windowed decode walks a COMPACTED page grid (sink pages + in-window
+    # pages only) instead of predicating off below-window steps of the full
+    # walk — O(window) grid steps per token regardless of context. False
+    # only for A/B measurement of the dead-step cost.
+    compact_window: bool = True,
     return_lse: bool = False,
     # Clamp the KV page walk to each sequence's pages-in-use so grid steps
     # past the length re-use the same block (no DMA issued) — batches mixing
@@ -391,7 +437,28 @@ def decode_attention(
         if paged:
             block_kv = k_cache.shape[2]  # the cache's page size
         else:
-            block_kv = min(2048, cdiv(k_cache.shape[2], 128) * 128)
+            # Durable autotune (bench/autotune.py --space decode) overrides
+            # the measured heuristics per (cache bits, head_dim, pow2
+            # context bucket); fallback = the r3 ~2MB/step heuristic below.
+            from lowbit_quant_fa2_paddle_tpu.utils import tuning
+
+            ent = None
+            if not window:
+                ent = tuning.lookup_entry(
+                    f"decode_k{k_bits}v{v_bits}", d,
+                    tuning.pow2_bucket(k_cache.shape[2]), False,
+                )
+            if ent:
+                block_kv = int(ent["block_kv"])
+                if heads_per_step is None and "heads_per_step" in ent:
+                    heads_per_step = int(ent["heads_per_step"])
+            else:
+                block_kv = min(2048, cdiv(k_cache.shape[2], 128) * 128)
+            # Windowed walk keeps the same 2048 default: the interleaved
+            # min-of-rounds A/B at 128K/W8K int8 (single rounds flap
+            # bimodally on this transport) reads bk2048 compact 53.5 us
+            # vs bk1024 73.4 — the straddle waste is cheaper than more
+            # grid steps.
     v_quantized = v_cache.dtype == jnp.int8
     if v_quantized:
         assert v_scale is not None
@@ -411,24 +478,8 @@ def decode_attention(
         ks_rows = k_scale.reshape(hk, n_pages, 1, page)
         vs_rows = v_scale.reshape(hk, n_pages, 1, page) if v_quantized else None
 
-        def row_index(bi, hi, ji, lens, tbl):
-            # Clamp the page walk to the sequence's pages-in-use: grid steps
-            # past the length keep the SAME block index, so Mosaic's pipeline
-            # skips their DMAs entirely (the compute is already `pl.when`-
-            # masked). A batch mixing 2K and 128K sequences then streams
-            # each slot's actual pages, not table_width pages per slot.
-            if not clamp_walk:
-                return (hi, tbl[bi, ji], 0, 0)
-            used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
-            jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
-            if window:
-                # Below-window steps reuse the first in-window page: their
-                # compute is predicated off, and the repeated index lets
-                # Mosaic skip the DMA entirely. Sink pages keep streaming.
-                j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
-                jw = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
-                jc = jnp.where(ji * block_kv < sink, jc, jw) if sink else jw
-            return (hi, tbl[bi, jc], 0, 0)
+        def row0(bi, hi):
+            return hi
     else:
         _, hk, s_max, _ = k_cache.shape
         s_pad = cdiv(s_max, block_kv) * block_kv
@@ -452,17 +503,9 @@ def decode_attention(
             v_scale.reshape(b * hk, max_pages, 1, block_kv) if v_quantized else None
         )
 
-        def row_index(bi, hi, ji, lens, tbl):
+        def row0(bi, hi):
             # dim0 indexes [b*hk] rows in heads_per_step-block units
-            if not clamp_walk:
-                return (bi * (hk // hb) + hi, tbl[bi, ji], 0, 0)
-            used = jax.lax.div(lens[bi] + (block_kv - 1), block_kv)
-            jc = jnp.minimum(ji, jnp.maximum(used - 1, 0))
-            if window:
-                j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
-                jw = jnp.maximum(jc, jnp.minimum(j_lo, jnp.maximum(used - 1, 0)))
-                jc = jnp.where(ji * block_kv < sink, jc, jw) if sink else jw
-            return (bi * (hk // hb) + hi, tbl[bi, jc], 0, 0)
+            return bi * (hk // hb) + hi
 
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
@@ -498,6 +541,54 @@ def decode_attention(
     if g_pad != rows:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - rows), (0, 0)))
 
+    # Compacted banded walk (windowed decode): the page grid dim is shrunk
+    # to the STATIC count of pages a window can touch — sink pages plus
+    # ceil((window + q_tokens - 1)/block_kv) + 1 straddle — instead of the
+    # full cache walk with below-window steps predicated off. Dead grid
+    # steps cost ~2 us each even DMA-clamped (r3: 128K/W8K decode measured
+    # 0.093 ms/tok vs the 0.025 byte-ratio floor); compaction deletes them.
+    # The prefill kernels solved the same problem with scalar-prefetched
+    # band tables (ops/attention.py); decode derives the band from
+    # `lengths` directly in the index map.
+    sink_pages = cdiv(sink, block_kv) if (window and sink) else 0
+    compact = False
+    if window and compact_window and clamp_walk:
+        n_band = sink_pages + cdiv(window + q_tokens - 1, block_kv) + 1
+        compact = n_band < max_pages
+    grid_pages = n_band if compact else max_pages
+
+    def logical_page(bi, ji, lens):
+        used_m1 = jnp.maximum(
+            jax.lax.div(lens[bi] + (block_kv - 1), block_kv) - 1, 0
+        )
+        if compact:
+            start = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0)
+            ws = jnp.maximum(start, sink) // block_kv
+            j_act = ws + (ji - sink_pages)
+            if sink_pages:
+                j_act = jnp.where(ji < sink_pages, ji, j_act)
+            return jnp.clip(j_act, 0, used_m1)
+        if not clamp_walk:
+            return ji
+        # Clamp the page walk to the sequence's pages-in-use: grid steps
+        # past the length keep the SAME block index, so Mosaic's pipeline
+        # skips their DMAs entirely (the compute is already `pl.when`-
+        # masked). A batch mixing 2K and 128K sequences then streams
+        # each slot's actual pages, not table_width pages per slot.
+        jc = jnp.minimum(ji, used_m1)
+        if window:
+            # (uncompacted windowed walk — compact_window=False A/B mode)
+            # Below-window steps reuse the first in-window page: their
+            # compute is predicated off, and the repeated index lets
+            # Mosaic skip the DMA entirely. Sink pages keep streaming.
+            j_lo = jnp.maximum(lens[bi] - (q_tokens - 1) - window, 0) // block_kv
+            jw = jnp.maximum(jc, jnp.minimum(j_lo, used_m1))
+            jc = jnp.where(ji * block_kv < sink, jc, jw) if sink else jw
+        return jc
+
+    def row_index(bi, hi, ji, lens, tbl):
+        return (row0(bi, hi), tbl[bi, logical_page(bi, ji, lens)], 0, 0)
+
     in_specs = [
         pl.BlockSpec((1, hb, g_pad, d), lambda bi, hi, ji, lens, tbl: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((hb, 1, block_kv, d_ck), row_index, memory_space=pltpu.VMEM),
@@ -522,11 +613,12 @@ def decode_attention(
             v_quantized=v_quantized, k_bits=k_bits, v_bits=v_bits,
             int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
             window=window, sink=sink, q_tokens=q_tokens, group=g,
+            compact=compact, sink_pages=sink_pages,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hk // hb, max_pages),
+        grid=(b, hk // hb, grid_pages),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(

@@ -171,17 +171,26 @@ def wq_matmul_per_channel(
     *,
     bits: int = 8,
     activation: str = "bf16",
-    block_n: int = 1024,
+    block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """``x @ W^T`` with symmetric per-channel-quantized W
     (:func:`pack_weights_per_channel`). ``activation="int8"`` additionally
     quantizes x per token and runs the INT8 MXU dot (w8a8); ``"bf16"`` keeps
-    x as-is (w8a16 / w4a16)."""
+    x as-is (w8a16 / w4a16). ``block_n=None`` consults the durable autotune
+    cache (bench/autotune.py --space gemv, keyed by bits/K/pow2-N bucket)
+    and falls back to the measured default 1024."""
     if interpret is None:
         interpret = default_interpret()
     *lead, k = x.shape
     n = packed.shape[0]
+    if block_n is None:
+        from lowbit_quant_fa2_paddle_tpu.utils import tuning
+
+        ent = tuning.lookup_entry(
+            f"gemv_w{bits}", k, tuning.pow2_bucket(n), False
+        )
+        block_n = int(ent["block_kv"]) if ent else 1024
     kb = packed.shape[1]
     m_total = 1
     for s_ in lead:

@@ -81,6 +81,8 @@ def run_training_step_dryrun(n_devices: int) -> None:
     if n_devices >= 2:
         _pipeline_dryrun(min(2, n_devices))
         _collectives_dryrun(min(4, d_seq * d_data * d_model))
+        _sharded_decode_dryrun(min(4, n_devices))
+        _serving_engine_dryrun()
 
 
 def _collectives_dryrun(n: int) -> None:
@@ -98,9 +100,68 @@ def _collectives_dryrun(n: int) -> None:
     o = make_ring_attention(mesh, is_causal=True, k_bits=4, v_bits=8)(q, k, v)
     jax.block_until_ready(o)
     assert jnp.isfinite(o.astype(jnp.float32)).all()
+    # Windowed ring: hops beyond the window are dropped statically (the
+    # banded streaming story's multi-chip path).
+    o = make_ring_attention(mesh, is_causal=True, window_size=200)(q, k, v)
+    jax.block_until_ready(o)
+    assert jnp.isfinite(o.astype(jnp.float32)).all()
     o = make_ulysses_attention(mesh, wire_bits=8)(q, k, v)
     jax.block_until_ready(o)
     assert jnp.isfinite(o.astype(jnp.float32)).all()
+
+
+def _sharded_decode_dryrun(n: int) -> None:
+    """Context-sharded (LSE psum merge over 'seq') and head-sharded (TP over
+    'model') decode over paged-quantized caches — the distributed serving
+    data plane (parallel/serving.py)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.parallel.serving import (
+        make_context_sharded_decode,
+        make_head_sharded_decode,
+    )
+
+    b, h, hk, d = 2, 8, 4, 64
+    s = 256 * n
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hk, s, d), jnp.bfloat16)
+    kq, ksx = dec.quantize_token(k, bits=8)
+    vq, vsx = dec.quantize_token(v, bits=8)
+    lengths = jnp.full((b,), s, jnp.int32)
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+    o = make_context_sharded_decode(mesh)(q, kq, vq, ksx, lengths, vsx)
+    jax.block_until_ready(o)
+    assert jnp.isfinite(o.astype(jnp.float32)).all()
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("model",))
+    o = make_head_sharded_decode(mesh)(q, kq, vq, ksx, lengths, vsx)
+    jax.block_until_ready(o)
+    assert jnp.isfinite(o.astype(jnp.float32)).all()
+
+
+def _serving_engine_dryrun() -> None:
+    """A few ServingEngine ticks (admission -> prefill -> batched paged
+    decode -> retire) so the dryrun certifies the serving control loop
+    around the kernels, not just the kernels."""
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    eng = serving.ServingEngine(
+        params, cfg,
+        serving.ServingConfig(page_size=8, num_pages=16, max_batch=2),
+    )
+    eng.add_request([1, 2, 3, 4, 5], 4)
+    eng.add_request([5, 4, 3], 3)
+    done = eng.run()
+    assert len(done) == 2 and all(len(t) > 0 for t in done.values())
 
 
 def _pipeline_dryrun(pp: int) -> None:

@@ -88,6 +88,26 @@ def lookup(
     return int(ent["block_q"]), int(ent["block_kv"])
 
 
+def lookup_entry(
+    kernel: str, d: int, s: int, causal: bool, device: Optional[str] = None
+) -> Optional[dict]:
+    """Full tuning entry (block fields + any extras such as
+    ``heads_per_step`` for the decode space) or None. Never raises."""
+    ent = _load().get(_key(kernel, d, s, causal, device))
+    return dict(ent) if ent else None
+
+
+def pow2_bucket(s: int) -> int:
+    """Power-of-two bucket for context-length keys: decode/gemv optima move
+    with log2(size), not the exact value, so entries recorded at 128K serve
+    a 130K cache (attention-kernel entries keep exact seq keys — prefill
+    shapes are few and fixed per model)."""
+    b = 1
+    while b < s:
+        b <<= 1
+    return b
+
+
 def record(
     kernel: str,
     d: int,
@@ -97,6 +117,7 @@ def record(
     block_kv: int,
     tflops: float = 0.0,
     device: Optional[str] = None,
+    extra: Optional[dict] = None,
 ) -> str:
     """Persist a tuning entry; returns the cache path."""
     path = cache_path()
@@ -105,6 +126,8 @@ def record(
         "block_kv": int(block_kv),
         "tflops": float(tflops),
     }
+    if extra:
+        entry.update(extra)
     with _LOCK:
         user = _read_json(path)
         user[_key(kernel, d, s, causal, device)] = entry

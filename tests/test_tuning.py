@@ -95,3 +95,47 @@ def test_launcher_uses_tuned_blocks(tmp_cache):
     assert float(cosine_similarity(jnp.swapaxes(o, 2, 3).astype(jnp.float32), ref)) > 0.999
     # the entry the launcher looked up is the one we wrote (same key fn)
     assert tuning.lookup("km", d, s, False) == (256, 128)
+
+
+def test_decode_space_entry_consulted(tmp_cache):
+    """A decode-space tuning entry (block_kv + heads_per_step, pow2 context
+    bucket) must steer decode_attention when both knobs are left unset —
+    checked by bit-identity against the same knobs passed explicitly."""
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+
+    assert tuning.pow2_bucket(131072) == 131072
+    assert tuning.pow2_bucket(133120) == 262144
+    assert tuning.pow2_bucket(1) == 1
+    tuning.record("decode_k8v8", 64, tuning.pow2_bucket(512), False, 0, 128,
+                  extra={"heads_per_step": 2})
+    ent = tuning.lookup_entry("decode_k8v8", 64, 512, False)
+    assert ent["block_kv"] == 128 and ent["heads_per_step"] == 2
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, h, hk, s, d = 2, 8, 2, 512, 64
+    q = jax.random.normal(ks[0], (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hk, s, d), jnp.bfloat16)
+    kq, ksx = dec.quantize_token(k, bits=8)
+    vq, vsx = dec.quantize_token(v, bits=8)
+    lengths = jnp.full((b,), s, jnp.int32)
+    o_auto = dec.decode_attention(q, kq, vq, ksx, lengths, v_scale=vsx)
+    o_expl = dec.decode_attention(q, kq, vq, ksx, lengths, v_scale=vsx,
+                                  block_kv=128, heads_per_step=2)
+    np.testing.assert_array_equal(np.asarray(o_auto), np.asarray(o_expl))
+
+
+def test_gemv_space_entry_consulted(tmp_cache):
+    """A gemv-space entry steers wq_matmul_per_channel's N tile when
+    block_n is unset (result invariant to the tile — bit-identity)."""
+    from lowbit_quant_fa2_paddle_tpu.ops import gemv
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    m, n, k = 4, 512, 256
+    x = jax.random.normal(ks[0], (m, k), jnp.bfloat16)
+    w = jax.random.normal(ks[1], (n, k), jnp.float32)
+    packed, scale = gemv.pack_weights_per_channel(w, bits=8)
+    tuning.record("gemv_w8", k, tuning.pow2_bucket(n), False, 0, 256)
+    o_auto = gemv.wq_matmul_per_channel(x, packed, scale, bits=8)
+    o_expl = gemv.wq_matmul_per_channel(x, packed, scale, bits=8, block_n=256)
+    np.testing.assert_array_equal(np.asarray(o_auto), np.asarray(o_expl))

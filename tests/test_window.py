@@ -559,3 +559,36 @@ def test_decode_window_noop_when_large():
     full = dec.decode_attention(q, kc, v.astype(jnp.bfloat16), ksc, lengths,
                                 block_kv=128)
     np.testing.assert_allclose(np.asarray(a), np.asarray(full), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("qt", [1, 3])
+@pytest.mark.parametrize(
+    "lengths,w,sink",
+    [
+        ([512, 512], 128, 0),   # deep cache, plain window
+        ([300, 170], 200, 0),   # one sequence shorter than the window
+        ([512, 450], 96, 40),   # sink smaller than a page
+        ([512, 300], 128, 128), # sink exactly one page
+    ],
+)
+def test_decode_window_compaction_bit_identical(lengths, w, sink, qt):
+    """The compacted banded page walk must be bit-identical to the dead-step
+    walk (it changes the grid, never the math) — including short sequences,
+    partial-page sinks, and multi-token (speculative-verify) queries."""
+    from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
+    from lowbit_quant_fa2_paddle_tpu.ops.quant import quant_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    b, h, hk, s, d = 2, 8, 2, 512, 64
+    q = jax.random.normal(ks[0], (b, qt, h, d) if qt > 1 else (b, h, d))
+    k = jax.random.normal(ks[1], (b, hk, s, d))
+    v = jax.random.normal(ks[2], (b, hk, s, d))
+    lengths = jnp.array(lengths, jnp.int32)
+    kc, ksc = quant_int8(k, gran="per_token")
+    vc, vsc = quant_int8(v, gran="per_token")
+    kw = dict(v_scale=vsc, window_size=w, sink_size=sink, block_kv=64)
+    o_c = dec.decode_attention(q, kc, vc, ksc, lengths, **kw)
+    o_d = dec.decode_attention(
+        q, kc, vc, ksc, lengths, compact_window=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_d))
