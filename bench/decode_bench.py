@@ -109,9 +109,12 @@ def main():
         print(f"[decode] {name:5s}: {t*1e3:7.3f} ms/tok | {gbs:6.1f} GB/s | "
               f"{t_bf16/t:4.2f}x vs bf16 | cos {cos:.6f}", file=sys.stderr)
 
+    from lowbit_quant_fa2_paddle_tpu.utils.benchmark import device_memory_stats
+
     out = dict(
         config=dict(b=b, h=h, hk=hk, d=d, s=s, block_kv=bk,
-                    device=jax.devices()[0].device_kind),
+                    device=jax.devices()[0].device_kind,
+                    device_memory=device_memory_stats()),
         results=results,
     )
     if args.json:

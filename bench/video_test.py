@@ -92,7 +92,25 @@ def main():
 
     baseline, t_base = generate_latents(params, cfg, baseline_impl, args.steps, seq, key,
                                         scan_blocks=args.full_size)
-    results = [{"impl": baseline_impl, "seconds": round(t_base, 3), "frame_mse": 0.0}]
+    # Memory accounting (reference reports elapsed + peak memory per run,
+    # example/parallel_sageattn_cogvideo.py:96-104): device memory stats
+    # where the backend exposes them, analytic byte accounting always
+    # (the axon relay returns no memory_stats).
+    from lowbit_quant_fa2_paddle_tpu.utils.benchmark import device_memory_stats
+
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+    )
+    lat_bytes = seq * cfg.dim * 2  # bf16 latent
+    mem = {
+        "param_bytes": int(param_bytes),
+        "latent_bytes": int(lat_bytes),
+        # per-step attention working set (q+k+v+o at the flagship shape)
+        "attn_qkvo_bytes": int(4 * cfg.num_heads * seq * cfg.head_dim * 2),
+    }
+    mem.update(device_memory_stats())
+    results = [{"impl": baseline_impl, "seconds": round(t_base, 3),
+                "frame_mse": 0.0, "memory": mem}]
     print(json.dumps(results[0]), flush=True)
 
     run_params = [("", params)]

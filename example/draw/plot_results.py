@@ -18,6 +18,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("results", help="JSON from bench/sweep.py")
     p.add_argument("--out", default="plots")
+    p.add_argument("--prefix", default="", help="filename prefix (e.g. hd128_causal_)")
     args = p.parse_args()
 
     with open(args.results) as f:
@@ -50,7 +51,7 @@ def main():
     ax.set_title(f"low-bit attention throughput ({'causal' if causal else 'non-causal'})")
     ax.legend()
     ax.grid(alpha=0.3)
-    path = os.path.join(args.out, "tflops_vs_seq.png")
+    path = os.path.join(args.out, args.prefix + "tflops_vs_seq.png")
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     print(f"-> {path}")
@@ -72,7 +73,7 @@ def main():
         ax.set_ylabel("speedup over fp16 FA2")
         ax.legend()
         ax.grid(alpha=0.3)
-        path = os.path.join(args.out, "speedup_vs_seq.png")
+        path = os.path.join(args.out, args.prefix + "speedup_vs_seq.png")
         fig.tight_layout()
         fig.savefig(path, dpi=150)
         print(f"-> {path}")

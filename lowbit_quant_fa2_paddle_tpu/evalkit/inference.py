@@ -21,8 +21,11 @@ def run_inference(
     cfg: InferenceConfig,
     generate_fn: Callable[[List[str], InferenceConfig], List[str]],
     examples: Optional[List[Dict[str, str]]] = None,
+    grade_fn: Optional[Callable[[str, str], bool]] = None,
 ) -> Dict:
-    """Run ``generate_fn`` over the dataset in batches, grading numerically.
+    """Run ``generate_fn`` over the dataset in batches, grading numerically
+    by default (``grade_fn`` overrides — e.g. exact-match for the
+    cache-precision ladder, bench/llm_accuracy_eval.py).
 
     Crash-safe: partial results are flushed to ``RESUME_*.json`` after every
     batch; a rerun resumes where it stopped. On success the resume file is
@@ -43,15 +46,20 @@ def run_inference(
         batch = examples[i : i + cfg.batch_size]
         outputs = generate_fn([ex["question"] for ex in batch], cfg)
         for ex, out in zip(batch, outputs):
-            pred = extract_answer(out)
-            gold = extract_answer(ex.get("answer", ""))
+            if grade_fn is not None:
+                pred, gold = out, ex.get("answer", "")
+                correct = bool(grade_fn(pred, gold))
+            else:
+                pred = extract_answer(out)
+                gold = extract_answer(ex.get("answer", ""))
+                correct = grade_numeric(pred, gold)
             results.append(
                 {
                     "question": ex["question"],
                     "output": out,
                     "pred": pred,
                     "gold": gold,
-                    "correct": grade_numeric(pred, gold),
+                    "correct": correct,
                 }
             )
         with open(rp, "w") as f:

@@ -99,7 +99,9 @@ def tflops(flops: int, seconds: float) -> float:
 def device_memory_stats(device=None) -> dict:
     """Device memory accounting for bench artifacts (the reference reports
     peak memory per e2e run, example/parallel_sageattn_cogvideo.py:100-104).
-    Returns {} when the backend doesn't expose memory_stats (CPU/interpret)."""
+    Returns {} when the backend doesn't expose memory_stats (CPU/interpret,
+    and the axon relay, whose PJRT plugin returns None) — artifacts fall
+    back to analytic byte accounting (cache/param sizes) in that case."""
     d = device if device is not None else jax.devices()[0]
     try:
         s = d.memory_stats() or {}
