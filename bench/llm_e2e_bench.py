@@ -117,6 +117,10 @@ def main():
                     help="tokens generated per measured dispatch")
     ap.add_argument("--modes", nargs="+", default=list(MODES),
                     choices=list(MODES))
+    ap.add_argument("--w-bits", type=int, default=0, choices=[0, 8, 4],
+                    help="also quantize the WEIGHTS per-channel (fused gemv "
+                         "path) — compounds with cache precision; rows are "
+                         "keyed mode+wN@ctx")
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
@@ -134,13 +138,16 @@ def main():
         cfg = make_cfg(args, kb, vb)
         if params is None:
             params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+            if args.w_bits:
+                params = llm.quantize_llm_params(params, bits=args.w_bits)
         caches = fill_caches(cfg, b, args.ctx)
         gb = cache_gbytes(caches)
 
         # one full decode step for the accuracy probe (logits vs bf16 mode)
         step = jax.jit(lambda p, t, c: llm.llm_decode_step(p, t, c, cfg)[0])
         lo = jax.block_until_ready(step(params, tok0, caches))
-        key = f"{mode}@{args.ctx}"
+        wtag = f"+w{args.w_bits}" if args.w_bits else ""
+        key = f"{mode}{wtag}@{args.ctx}"
         cos = None
         if mode == "bf16":
             logits_ref = lo
@@ -164,7 +171,7 @@ def main():
             "logits_cos_vs_bf16": None if cos is None else round(cos, 6),
             "device_memory": mem,
         }
-        ref_key = f"bf16@{args.ctx}"
+        ref_key = f"bf16{wtag}@{args.ctx}"
         if ref_key in results:
             results[key]["speedup_vs_bf16"] = round(
                 results[ref_key]["ms_per_token"] / results[key]["ms_per_token"], 3
