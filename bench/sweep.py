@@ -182,7 +182,9 @@ def main():
                 "bits": bits,
                 "seq": s,
                 "causal": args.causal,
-                "space": args.space if bits != "fp" else "k",  # fp routes K-major since round 2
+                # fp routes by head_dim since r4 (K-major < d128, Q-major >=)
+                "space": args.space if bits != "fp" else (
+                    "q" if args.head_dim >= 128 else "k"),
                 "tflops": round(tflops(flops, t), 2),
                 "ms": round(t * 1e3, 3),
             }

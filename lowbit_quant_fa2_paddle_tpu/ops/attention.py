@@ -1537,13 +1537,18 @@ def flash_attention_fp(
     on-chip baseline the low-bit kernels are benchmarked against (role of the
     reference's FA2 baseline, utils/benchmark.py:74-176).
 
-    ``schedule="auto"`` routes the K-major (transposed-space) kernel — the
-    float variant benefits from the same full-lane PV / sublane-softmax
-    schedule as the int8 path (measured b4 h32 d64 s4096: 85.8 vs 69.5 TF
-    drop-in; the in/out transposes fuse into neighbours). ``"q"`` keeps the
-    Q-major kernel (it alone supports ``static_max``)."""
+    ``schedule="auto"`` routes by head_dim (one-process A/Bs, r2+r4):
+    at d<128 the K-major (transposed-space) kernel wins — full-lane PV +
+    sublane softmax (b4 h32 d64 s4096: 85.8 vs 69.5 TF drop-in) — but at
+    d>=128 the Q-major kernel's PV already uses full lanes and K-major's
+    in/out transposes turn into a 3-5% loss (HD128_FP_AB.json: q 137-143
+    TF vs k 133-136 noncausal), so auto picks Q-major there. The int8
+    kernels stay K-major at every head_dim (int8 codes ride the
+    transpose-free natural-K consumption: 1.08-1.12x over Q-major at
+    hd128 in the same process). ``"q"`` also alone supports
+    ``static_max``."""
     if schedule == "auto":
-        schedule = "k"
+        schedule = "q" if q.shape[-1] >= 128 else "k"
     if schedule == "k":
         out = lowbit_attention_km(
             jnp.swapaxes(q, 2, 3),
