@@ -98,14 +98,19 @@ def lookup_entry(
 
 
 def pow2_bucket(s: int) -> int:
-    """Power-of-two bucket for context-length keys: decode/gemv optima move
-    with log2(size), not the exact value, so entries recorded at 128K serve
-    a 130K cache (attention-kernel entries keep exact seq keys — prefill
-    shapes are few and fixed per model)."""
-    b = 1
-    while b < s:
-        b <<= 1
-    return b
+    """NEAREST power-of-two bucket (geometric) for context-length keys:
+    decode/gemv optima move with log2(size), not the exact value, so an
+    entry recorded at 128K serves a 130K cache (128K + generation slack)
+    rather than falling in the empty 256K bucket. Attention-kernel entries
+    keep exact seq keys — prefill shapes are few and fixed per model."""
+    if s <= 1:
+        return 1
+    hi = 1
+    while hi < s:
+        hi <<= 1
+    lo = hi >> 1
+    # geometric midpoint: s belongs to lo when s^2 < lo*hi
+    return lo if s * s < lo * hi else hi
 
 
 def record(

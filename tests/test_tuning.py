@@ -104,7 +104,8 @@ def test_decode_space_entry_consulted(tmp_cache):
     from lowbit_quant_fa2_paddle_tpu.ops import decode as dec
 
     assert tuning.pow2_bucket(131072) == 131072
-    assert tuning.pow2_bucket(133120) == 262144
+    assert tuning.pow2_bucket(133120) == 131072  # 128K + slack stays 128K
+    assert tuning.pow2_bucket(200000) == 262144
     assert tuning.pow2_bucket(1) == 1
     tuning.record("decode_k8v8", 64, tuning.pow2_bucket(512), False, 0, 128,
                   extra={"heads_per_step": 2})
