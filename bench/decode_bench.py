@@ -34,7 +34,9 @@ def main():
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--seq", type=int, default=131072)
-    ap.add_argument("--block-kv", type=int, default=4096)
+    ap.add_argument("--block-kv", type=int, default=None,
+                    help="KV block override; default = tuned cache winner "
+                         "(bench/autotune.py --space decode) or heuristic")
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 

@@ -117,6 +117,12 @@ def main():
                     help="tokens generated per measured dispatch")
     ap.add_argument("--modes", nargs="+", default=list(MODES),
                     choices=list(MODES))
+    ap.add_argument("--real-prefill", action="store_true",
+                    help="build the cache by actually prefilling a random "
+                         "ctx-token prompt through llm_prefill_chunked "
+                         "(bounded-memory chunked prefill) instead of the "
+                         "synthetic fill — validates that decode timing is "
+                         "independent of how the cache was produced")
     ap.add_argument("--w-bits", type=int, default=0, choices=[0, 8, 4],
                     help="also quantize the WEIGHTS per-channel (fused gemv "
                          "path) — compounds with cache precision; rows are "
@@ -140,14 +146,29 @@ def main():
             params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
             if args.w_bits:
                 params = llm.quantize_llm_params(params, bits=args.w_bits)
-        caches = fill_caches(cfg, b, args.ctx)
+        if args.real_prefill:
+            import time as _t
+
+            prompt = jax.random.randint(
+                jax.random.PRNGKey(3), (b, args.ctx), 0, 256
+            )
+            t0 = _t.perf_counter()
+            _, caches = llm.llm_prefill_chunked(params, prompt, cfg, chunk=8192)
+            jax.block_until_ready(caches[0]["k"])
+            prefill_s = _t.perf_counter() - t0
+            print(f"[llm_e2e] chunked prefill {args.ctx} tokens x b{b}: "
+                  f"{prefill_s:.1f}s", file=sys.stderr)
+        else:
+            prefill_s = None
+            caches = fill_caches(cfg, b, args.ctx)
         gb = cache_gbytes(caches)
 
         # one full decode step for the accuracy probe (logits vs bf16 mode)
         step = jax.jit(lambda p, t, c: llm.llm_decode_step(p, t, c, cfg)[0])
         lo = jax.block_until_ready(step(params, tok0, caches))
         wtag = f"+w{args.w_bits}" if args.w_bits else ""
-        key = f"{mode}{wtag}@{args.ctx}"
+        rtag = "+realprefill" if args.real_prefill else ""
+        key = f"{mode}{wtag}{rtag}@{args.ctx}"
         cos = None
         if mode == "bf16":
             logits_ref = lo
@@ -171,6 +192,8 @@ def main():
             "logits_cos_vs_bf16": None if cos is None else round(cos, 6),
             "device_memory": mem,
         }
+        if prefill_s is not None:
+            results[key]["chunked_prefill_s"] = round(prefill_s, 2)
         ref_key = f"bf16{wtag}@{args.ctx}"
         if ref_key in results:
             results[key]["speedup_vs_bf16"] = round(

@@ -251,6 +251,145 @@ def llm_prefill(
     return logits, caches
 
 
+def merge_lse(o1: jax.Array, l1: jax.Array, o2: jax.Array, l2: jax.Array):
+    """Merge two partial attentions over disjoint key sets via their base-2
+    LSEs — the same contract ring attention uses across chips
+    (parallel/ring.py) and the serving engine uses for prefix reuse."""
+    m = jnp.maximum(l1, l2)
+    w1 = jnp.exp2(l1 - m)
+    w2 = jnp.exp2(l2 - m)
+    den = w1 + w2
+    o = (
+        o1.astype(jnp.float32) * (w1 / den)[..., None]
+        + o2.astype(jnp.float32) * (w2 / den)[..., None]
+    )
+    return o.astype(o1.dtype)
+
+
+def _dequant_cache_rows(codes: jax.Array, scale: jax.Array, bits: int,
+                        dtype) -> jax.Array:
+    """Per-token cache codes [.., S, Dc] -> values [.., S, D] in `dtype`."""
+    if bits == 16:
+        return codes.astype(dtype)
+    if bits == 4:
+        c32 = codes.astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(c32, 28), 28)
+        hi = jax.lax.shift_right_arithmetic(c32, 4)
+        vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    else:
+        vals = codes.astype(jnp.float32)
+    return (vals * scale[..., None]).astype(dtype)
+
+
+def llm_prefill_chunked(
+    params: Params,
+    tokens: jax.Array,  # [B, S]
+    cfg: LLMConfig,
+    *,
+    chunk: int = 4096,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, list]:
+    """Prompt prefill in fixed-size chunks at BOUNDED activation memory:
+    each chunk runs causal self-attention within the chunk plus
+    cross-attention over the already-written quantized cache, merged
+    through the kernels' base-2 LSE contract — so a 128K prompt prefills
+    with O(chunk) activations instead of O(S) (a batch-4 128K full prefill
+    exceeds single-chip HBM at dim 4096). N-chunk generalization of the
+    serving engine's prefix-reuse prefill (serving._chunked_prefill_forward,
+    which splits once at the cached-prefix boundary).
+
+    Cross-attention consumes the cache's own per-token codes (int8/int4 K
+    straight into the quantized kernel; V dequantized per chunk), so the
+    appended rows are IDENTICAL to :func:`llm_prefill`'s cache — only the
+    attention-path quantization differs (logits cos vs the one-shot
+    prefill > 0.999; tests/test_llm.py). Returns (last-token logits
+    ``[B, vocab]``, caches)."""
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+        flash_attention_fp,
+        lowbit_attention,
+    )
+
+    assert cfg.window_size is None, "chunked prefill requires full causal"
+    b, s = tokens.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    kb, vb = cfg.eff_k_bits, cfg.eff_v_bits
+    caches = [
+        dec.init_kv_cache(b, hk, cfg.max_seq, hd, k_bits=kb, v_bits=vb)
+        for _ in params["blocks"]
+    ]
+    x_tail = None
+    for c0 in range(0, s, chunk):
+        sc = min(chunk, s - c0)
+        x = params["embed"][tokens[:, c0 : c0 + sc]]
+        pos = jnp.broadcast_to(c0 + jnp.arange(sc), (b, sc))
+        for li, blk in enumerate(params["blocks"]):
+            xa = _rms_norm(x, blk["ln1"])
+            q = _mm(xa, blk["wq"], interpret).reshape(b, sc, h, hd).swapaxes(1, 2)
+            k = _mm(xa, blk["wk"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
+            v = _mm(xa, blk["wv"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
+            q = _rope(q, pos, cfg.rope_theta)
+            k = _rope(k, pos, cfg.rope_theta)
+            o2, l2 = lowbit_attention(
+                q, k, v.astype(jnp.bfloat16), fused_quant=True,
+                is_causal=True, return_lse=True, interpret=interpret,
+            )
+            if c0 > 0:
+                cache = caches[li]
+                v_pre = _dequant_cache_rows(
+                    cache["v"][:, :, :c0], cache["v_scale"][:, :, :c0],
+                    vb, jnp.bfloat16,
+                )
+                if kb == 16:
+                    o1, l1 = flash_attention_fp(
+                        q, cache["k"][:, :, :c0], v_pre,
+                        is_causal=False, return_lse=True, interpret=interpret,
+                    )
+                elif kb == 4:
+                    o1, l1 = lowbit_attention(
+                        q, cache["k"][:, :, :c0], v_pre,
+                        k_scale=cache["k_scale"][:, :, :c0],
+                        k_pack_bits=4, fused_quant_q=True,
+                        is_causal=False, return_lse=True, interpret=interpret,
+                    )
+                else:
+                    o1, l1 = lowbit_attention(
+                        q, cache["k"][:, :, :c0], v_pre,
+                        k_scale=cache["k_scale"][:, :, :c0],
+                        fused_quant_q=True,
+                        is_causal=False, return_lse=True, interpret=interpret,
+                    )
+                o = merge_lse(o1, l1, o2, l2)
+            else:
+                o = o2
+            x = x + _mm(o.swapaxes(1, 2).reshape(b, sc, -1).astype(x.dtype),
+                        blk["wo"], interpret)
+            xm = _rms_norm(x, blk["ln2"])
+            x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"],
+                        interpret)
+
+            kq, ks = jax.vmap(
+                functools.partial(dec.quantize_token, bits=kb),
+                in_axes=2, out_axes=2,
+            )(k)
+            vq, vs = jax.vmap(
+                functools.partial(dec.quantize_token, bits=vb),
+                in_axes=2, out_axes=2,
+            )(v)
+            cache = caches[li]
+            caches[li] = {
+                "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, c0, 0)),
+                "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, c0, 0)),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache["k_scale"], ks, (0, 0, c0)),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache["v_scale"], vs, (0, 0, c0)),
+                "length": jnp.full((b,), c0 + sc, jnp.int32),
+            }
+        x_tail = x
+    logits = _rms_norm(x_tail[:, -1], params["ln_f"]) @ params["embed"].T
+    return logits, caches
+
+
 def llm_decode_step(
     params: Params,
     token: jax.Array,  # [B]

@@ -444,8 +444,14 @@ def decode_attention(
 
             ent = None
             if not window:
+                # Key on the ACTUAL cache precision (a float cache with the
+                # default k_bits=8 declaration must not inherit the int8
+                # winner: a bk8192 int8 tile fits VMEM, its bf16 twin does
+                # not — measured OOM).
+                ekb = 16 if k_cache.dtype != jnp.int8 else k_bits
+                evb = 16 if v_cache.dtype != jnp.int8 else v_bits
                 ent = tuning.lookup_entry(
-                    f"decode_k{k_bits}v{v_bits}", d,
+                    f"decode_k{ekb}v{evb}", d,
                     tuning.pow2_bucket(k_cache.shape[2]), False,
                 )
             if ent:
@@ -454,6 +460,15 @@ def decode_attention(
                     heads_per_step = int(ent["heads_per_step"])
             else:
                 block_kv = min(2048, cdiv(k_cache.shape[2], 128) * 128)
+            # A block that doesn't divide s_max forces a WHOLE-CACHE pad
+            # copy per call (jnp.pad below) — at 128K that copy costs ~3x
+            # the kernel itself (measured: the b1-tuned bk8192 applied to
+            # a 130K cache regressed the LLM step 7.4 -> 16.9 ms/tok).
+            # Shrink to the largest block that divides; per-block timing
+            # is flat at these sizes (b4 A/B: 1.55-1.60 ms across
+            # bk2048-8192), so the copy is the only thing at stake.
+            while block_kv > 512 and k_cache.shape[2] % block_kv:
+                block_kv //= 2
             # Windowed walk keeps the same 2048 default: the interleaved
             # min-of-rounds A/B at 128K/W8K int8 (single rounds flap
             # bimodally on this transport) reads bk2048 compact 53.5 us

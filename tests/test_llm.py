@@ -126,3 +126,42 @@ def test_generate_k4v8_cache():
     assert toks.shape == (2, 4)
     toks8 = llm.generate(params, prompt, 4, llm.tiny_llm_config(max_seq=64))
     assert float((toks == toks8).mean()) >= 0.75
+
+
+def test_chunked_prefill_matches_one_shot():
+    """Bounded-memory chunked prefill: identical cache rows, logits cos >
+    0.999 vs the one-shot prefill, and the decode continuation agrees."""
+    for kv_bits, k_bits in ((8, None), (16, None), (8, 4)):
+        cfg = llm.tiny_llm_config(max_seq=96, kv_bits=kv_bits, k_bits=k_bits)
+        params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 40), 0, cfg.vocab)
+        lo_full, caches_full = llm.llm_prefill(params, prompt, cfg)
+        lo_c, caches_c = llm.llm_prefill_chunked(params, prompt, cfg, chunk=16)
+        # cache VALUES track the one-shot prefill's (upstream activations
+        # differ slightly — the attention-path quantization differs — so
+        # compare dequantized rows by cosine, not code equality)
+        for cf, cc in zip(caches_full, caches_c):
+            assert int(cc["length"][0]) == 40
+            kf = np.asarray(
+                llm._dequant_cache_rows(
+                    cf["k"][:, :, :40], cf["k_scale"][:, :, :40],
+                    cfg.eff_k_bits, jnp.float32),
+                np.float32).ravel()
+            kc = np.asarray(
+                llm._dequant_cache_rows(
+                    cc["k"][:, :, :40], cc["k_scale"][:, :, :40],
+                    cfg.eff_k_bits, jnp.float32),
+                np.float32).ravel()
+            cosk = kf @ kc / (np.linalg.norm(kf) * np.linalg.norm(kc))
+            thresh = 0.99 if cfg.eff_k_bits == 4 else 0.999
+            assert cosk > thresh, (kv_bits, k_bits, cosk)
+        a = np.asarray(lo_full[:, -1], np.float32).ravel()
+        bb = np.asarray(lo_c, np.float32).ravel()
+        cos = float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb)))
+        assert cos > (0.995 if cfg.eff_k_bits == 4 else 0.999), (kv_bits, k_bits, cos)
+        # decode continues identically from either cache (greedy, 4 steps)
+        t_full = jnp.argmax(lo_full[:, -1], -1)
+        t_c = jnp.argmax(lo_c, -1)
+        toks_full, _ = llm.decode_tokens(params, t_full, caches_full, 4, cfg)
+        toks_c, _ = llm.decode_tokens(params, t_c, caches_c, 4, cfg)
+        assert float((toks_full == toks_c).mean()) >= 0.75
