@@ -311,83 +311,113 @@ def llm_prefill_chunked(
 
     assert cfg.window_size is None, "chunked prefill requires full causal"
     b, s = tokens.shape
-    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hk, hd = cfg.num_kv_heads, cfg.head_dim
     kb, vb = cfg.eff_k_bits, cfg.eff_v_bits
     caches = [
         dec.init_kv_cache(b, hk, cfg.max_seq, hd, k_bits=kb, v_bits=vb)
         for _ in params["blocks"]
     ]
+    # One jitted dispatch per chunk (recompiles per static prefix offset —
+    # the cross-attention slice grows — but the whole chunk body, matmuls
+    # included, runs as one device program with the caches donated).
+    step = jax.jit(
+        functools.partial(_prefill_chunk, cfg=cfg, interpret=interpret),
+        static_argnames=("c0",),
+        donate_argnums=(2,),
+    )
     x_tail = None
     for c0 in range(0, s, chunk):
         sc = min(chunk, s - c0)
-        x = params["embed"][tokens[:, c0 : c0 + sc]]
-        pos = jnp.broadcast_to(c0 + jnp.arange(sc), (b, sc))
-        for li, blk in enumerate(params["blocks"]):
-            xa = _rms_norm(x, blk["ln1"])
-            q = _mm(xa, blk["wq"], interpret).reshape(b, sc, h, hd).swapaxes(1, 2)
-            k = _mm(xa, blk["wk"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
-            v = _mm(xa, blk["wv"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
-            q = _rope(q, pos, cfg.rope_theta)
-            k = _rope(k, pos, cfg.rope_theta)
-            o2, l2 = lowbit_attention(
-                q, k, v.astype(jnp.bfloat16), fused_quant=True,
-                is_causal=True, return_lse=True, interpret=interpret,
-            )
-            if c0 > 0:
-                cache = caches[li]
-                v_pre = _dequant_cache_rows(
-                    cache["v"][:, :, :c0], cache["v_scale"][:, :, :c0],
-                    vb, jnp.bfloat16,
-                )
-                if kb == 16:
-                    o1, l1 = flash_attention_fp(
-                        q, cache["k"][:, :, :c0], v_pre,
-                        is_causal=False, return_lse=True, interpret=interpret,
-                    )
-                elif kb == 4:
-                    o1, l1 = lowbit_attention(
-                        q, cache["k"][:, :, :c0], v_pre,
-                        k_scale=cache["k_scale"][:, :, :c0],
-                        k_pack_bits=4, fused_quant_q=True,
-                        is_causal=False, return_lse=True, interpret=interpret,
-                    )
-                else:
-                    o1, l1 = lowbit_attention(
-                        q, cache["k"][:, :, :c0], v_pre,
-                        k_scale=cache["k_scale"][:, :, :c0],
-                        fused_quant_q=True,
-                        is_causal=False, return_lse=True, interpret=interpret,
-                    )
-                o = merge_lse(o1, l1, o2, l2)
-            else:
-                o = o2
-            x = x + _mm(o.swapaxes(1, 2).reshape(b, sc, -1).astype(x.dtype),
-                        blk["wo"], interpret)
-            xm = _rms_norm(x, blk["ln2"])
-            x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"],
-                        interpret)
-
-            kq, ks = jax.vmap(
-                functools.partial(dec.quantize_token, bits=kb),
-                in_axes=2, out_axes=2,
-            )(k)
-            vq, vs = jax.vmap(
-                functools.partial(dec.quantize_token, bits=vb),
-                in_axes=2, out_axes=2,
-            )(v)
-            cache = caches[li]
-            caches[li] = {
-                "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, c0, 0)),
-                "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, c0, 0)),
-                "k_scale": jax.lax.dynamic_update_slice(
-                    cache["k_scale"], ks, (0, 0, c0)),
-                "v_scale": jax.lax.dynamic_update_slice(
-                    cache["v_scale"], vs, (0, 0, c0)),
-                "length": jnp.full((b,), c0 + sc, jnp.int32),
-            }
-        x_tail = x
+        x_tail, caches = step(params, tokens[:, c0 : c0 + sc], caches, c0=c0)
     logits = _rms_norm(x_tail[:, -1], params["ln_f"]) @ params["embed"].T
     return logits, caches
+
+
+def _prefill_chunk(
+    params: Params,
+    toks_c: jax.Array,  # [B, sc]
+    caches: list,
+    *,
+    c0: int,
+    cfg: LLMConfig,
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, list]:
+    """One chunk of :func:`llm_prefill_chunked` (jitted with static c0)."""
+    from lowbit_quant_fa2_paddle_tpu.ops.attention import (
+        flash_attention_fp,
+        lowbit_attention,
+    )
+
+    b, sc = toks_c.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    kb, vb = cfg.eff_k_bits, cfg.eff_v_bits
+    x = params["embed"][toks_c]
+    pos = jnp.broadcast_to(c0 + jnp.arange(sc), (b, sc))
+    new_caches = list(caches)
+    for li, blk in enumerate(params["blocks"]):
+        xa = _rms_norm(x, blk["ln1"])
+        q = _mm(xa, blk["wq"], interpret).reshape(b, sc, h, hd).swapaxes(1, 2)
+        k = _mm(xa, blk["wk"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
+        v = _mm(xa, blk["wv"], interpret).reshape(b, sc, hk, hd).swapaxes(1, 2)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
+        o2, l2 = lowbit_attention(
+            q, k, v.astype(jnp.bfloat16), fused_quant=True,
+            is_causal=True, return_lse=True, interpret=interpret,
+        )
+        if c0 > 0:
+            cache = caches[li]
+            v_pre = _dequant_cache_rows(
+                cache["v"][:, :, :c0], cache["v_scale"][:, :, :c0],
+                vb, jnp.bfloat16,
+            )
+            if kb == 16:
+                o1, l1 = flash_attention_fp(
+                    q, cache["k"][:, :, :c0], v_pre,
+                    is_causal=False, return_lse=True, interpret=interpret,
+                )
+            elif kb == 4:
+                o1, l1 = lowbit_attention(
+                    q, cache["k"][:, :, :c0], v_pre,
+                    k_scale=cache["k_scale"][:, :, :c0],
+                    k_pack_bits=4, fused_quant_q=True,
+                    is_causal=False, return_lse=True, interpret=interpret,
+                )
+            else:
+                o1, l1 = lowbit_attention(
+                    q, cache["k"][:, :, :c0], v_pre,
+                    k_scale=cache["k_scale"][:, :, :c0],
+                    fused_quant_q=True,
+                    is_causal=False, return_lse=True, interpret=interpret,
+                )
+            o = merge_lse(o1, l1, o2, l2)
+        else:
+            o = o2
+        x = x + _mm(o.swapaxes(1, 2).reshape(b, sc, -1).astype(x.dtype),
+                    blk["wo"], interpret)
+        xm = _rms_norm(x, blk["ln2"])
+        x = x + _mm(jax.nn.silu(_mm(xm, blk["w1"], interpret)), blk["w2"],
+                    interpret)
+
+        kq, ks = jax.vmap(
+            functools.partial(dec.quantize_token, bits=kb),
+            in_axes=2, out_axes=2,
+        )(k)
+        vq, vs = jax.vmap(
+            functools.partial(dec.quantize_token, bits=vb),
+            in_axes=2, out_axes=2,
+        )(v)
+        cache = caches[li]
+        new_caches[li] = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, c0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, c0, 0)),
+            "k_scale": jax.lax.dynamic_update_slice(
+                cache["k_scale"], ks, (0, 0, c0)),
+            "v_scale": jax.lax.dynamic_update_slice(
+                cache["v_scale"], vs, (0, 0, c0)),
+            "length": jnp.full((b,), c0 + sc, jnp.int32),
+        }
+    return x, new_caches
 
 
 def llm_decode_step(
