@@ -126,8 +126,10 @@ def main():
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--scenarios", nargs="+",
-                    default=["batching", "prefix", "spec", "window"],
-                    choices=["batching", "prefix", "spec", "window"],
+                    default=["batching", "prefix", "spec", "window",
+                             "multistep"],
+                    choices=["batching", "prefix", "spec", "window",
+                             "multistep"],
                     help="scenario groups; comparisons within a group run "
                          "in ONE process (batching = static + continuous + "
                          "prefix cache)")
@@ -216,6 +218,38 @@ def main():
                     and all(outs_ns[r] == outs_sp[r] for r in outs_ns))
         row_sp["tokens_identical_to_no_spec"] = bool(ident_sp)
         results["repetitive_ngram_spec"] = row_sp
+
+    if "multistep" in args.scenarios:
+        # 6: multi-step decode segments — the steady-serving regime (no
+        # queue: one request per slot, long outputs), where per-tick host
+        # round trips otherwise bound throughput. Token identity with the
+        # single-step engine is asserted.
+        rng = np.random.RandomState(7)
+        ms_reqs = [
+            (rng.randint(0, 256, size=128).tolist(), 96) for _ in range(8)
+        ]
+        row_1, outs_1 = drive(
+            params, cfg, serving.ServingConfig(prefix_caching=False, **base),
+            ms_reqs, interpret=interpret)
+        results["steady_single_step"] = row_1
+        row_m, outs_m = drive(
+            params, cfg,
+            serving.ServingConfig(prefix_caching=False, multi_step=8, **base),
+            ms_reqs, interpret=interpret)
+        row_m["speedup_vs_single_step"] = round(
+            row_1["wall_s"] / row_m["wall_s"], 3)
+        # The scanned segment runs the SAME step math (CPU: bit-identical,
+        # tests/test_serving_flow.py) but is a different XLA program, so
+        # bf16 reductions may fuse in a different order — near-argmax ties
+        # on this random-weight model can flip. Report the agreement rate.
+        agree = [
+            sum(a == b for a, b in zip(outs_1[r], outs_m[r]))
+            / max(len(outs_1[r]), 1)
+            for r in outs_1
+        ]
+        row_m["token_agreement_vs_single_step"] = round(
+            float(np.mean(agree)), 4)
+        results["steady_multi_step8"] = row_m
 
     if "window" in args.scenarios:
         # 5: windowed engine — bounded pool, rolling reclamation, long

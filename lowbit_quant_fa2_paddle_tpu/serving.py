@@ -91,6 +91,22 @@ class ServingConfig:
     # cache pass. Requires admission="reserve".
     spec_ngram: int = 0
     spec_k: int = 4
+    # Multi-step decode segments (vLLM's multi-step scheduling): when > 1
+    # and the queue is empty, the engine runs up to `multi_step` decode
+    # steps as ONE on-device lax.scan dispatch (greedy argmax feeds back
+    # on device), amortizing the per-tick host round trip that otherwise
+    # bounds serving throughput on dispatch-latency-heavy transports
+    # (measured 2.6x steady-state tokens/s, SERVING_TPU.json). The segment
+    # runs the SAME step body — bit-identical to single ticks on CPU
+    # (tests/test_serving_flow.py) — but as a separately-compiled XLA
+    # program, so bf16 reductions may fuse in a different order and
+    # near-argmax ties can flip (the standard recompilation caveat for
+    # greedy decoding). Admissions are only considered at segment
+    # boundaries, so waiting work delays by at most one segment. Requires
+    # admission="reserve"; not combinable with spec_ngram (the speculative
+    # tick is already multi-token) or window_size (rolling trim is
+    # per-append).
+    multi_step: int = 1
 
     @property
     def table_width(self) -> int:
@@ -407,6 +423,42 @@ def _spec_decode_step(
     return logits, new_caches
 
 
+def _multi_decode_steps(
+    params: Params,
+    caches: List[dict],
+    tokens: jax.Array,  # [B] int32 — token being fed at the segment start
+    lengths0: jax.Array,  # [B] int32 — stored tokens BEFORE the segment
+    page_table: jax.Array,  # [B, W] int32 (pages for all n steps pre-allocated)
+    active: jax.Array,  # [B] bool
+    *,
+    n: int,
+    cfg: L.LLMConfig,
+    page_size: int,
+    kv_bits: int,
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, List[dict]]:
+    """``n`` batched decode steps as ONE ``lax.scan`` (greedy argmax feeds
+    back on device) — the serving twin of ``models/llm.decode_tokens``.
+    Step i runs exactly :func:`_decode_step` with ``lengths0 + i + 1``, so
+    the emitted stream is token-identical to ``n`` single ticks. Returns
+    (tokens ``[B, n]``, caches)."""
+
+    def body(carry, i):
+        toks, cs = carry
+        logits, cs = _decode_step(
+            params, cs, toks, lengths0 + i + 1, page_table, active,
+            cfg=cfg, page_size=page_size, kv_bits=kv_bits,
+            interpret=interpret,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cs), nxt
+
+    (_, caches), toks = jax.lax.scan(
+        body, (tokens.astype(jnp.int32), caches), jnp.arange(n)
+    )
+    return jnp.swapaxes(toks, 0, 1), caches
+
+
 class _NgramIndex:
     """Prompt-lookup drafting index (the draft-model-free speculation vLLM
     ships as 'ngram'): for the token history's current n-token suffix, find
@@ -560,6 +612,27 @@ class ServingEngine:
             ),
             donate_argnums=(1,),
         )
+        self._multi = None
+        self.multi_segments = 0
+        if scfg.multi_step > 1:
+            if scfg.admission != "reserve":
+                raise ValueError("multi_step requires admission='reserve'")
+            if scfg.spec_ngram > 0:
+                raise ValueError("multi_step and spec_ngram are exclusive")
+            if cfg.window_size is not None:
+                raise ValueError("multi_step requires full-causal models "
+                                 "(rolling trim is per-append)")
+            self._multi = jax.jit(
+                functools.partial(
+                    _multi_decode_steps,
+                    n=scfg.multi_step,
+                    cfg=cfg,
+                    page_size=scfg.page_size,
+                    kv_bits=scfg.kv_bits,
+                    interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
         self._spec_decode = None
         self.spec_rounds = self.spec_accepted = 0
         if scfg.spec_ngram > 0:
@@ -808,7 +881,23 @@ class ServingEngine:
         slots = np.nonzero(self._active)[0]
         if slots.size and self.scfg.admission == "lazy":
             slots = self._relieve_page_pressure(slots)
-        if slots.size and self._spec_decode is not None:
+        if (
+            slots.size
+            and self._multi is not None
+            and not self._prompts
+            and not self._paused
+            and all(
+                self._max_new[int(self._slot_rid[s])]
+                - len(self.outputs[int(self._slot_rid[s])])
+                >= self.scfg.multi_step
+                for s in slots
+            )
+        ):
+            # Queue empty and every active slot has a full segment's budget:
+            # run multi_step ticks as one dispatch. (Otherwise fall through
+            # to the single tick so admissions/retirements stay prompt.)
+            self._step_multi(slots)
+        elif slots.size and self._spec_decode is not None:
             self._step_speculative(slots)
         elif slots.size:
             for slot in slots:
@@ -860,6 +949,40 @@ class ServingEngine:
             safe = pages[-1]
             pages = [p if p >= 0 else safe for p in pages]
         self._table[slot, : len(pages)] = pages
+
+    def _step_multi(self, slots: np.ndarray) -> None:
+        """One multi-step segment: pre-append multi_step rows per active
+        slot (reserve admission guarantees the pages), run the scanned
+        n-step decode as ONE dispatch, distribute the n tokens. Stream
+        identical to n single ticks (same step body, same argmax)."""
+        n = self.scfg.multi_step
+        lengths0 = np.array(self._lengths)  # pre-segment lengths
+        for slot in slots:
+            rid = int(self._slot_rid[slot])
+            new_len = 0
+            for _ in range(n):
+                new_len = self.sched.append_token(rid)
+                assert new_len > 0, "multi-step append outran the reservation"
+            self._lengths[slot] = new_len
+            self._update_slot_table(slot, rid, new_len)
+        toks, self.caches = self._multi(
+            self.params,
+            self.caches,
+            jnp.asarray(self._next_tok),
+            jnp.asarray(lengths0),
+            jnp.asarray(self._table),
+            jnp.asarray(self._active),
+        )
+        toks = np.asarray(toks)  # [B, n]
+        self.multi_segments += 1
+        for slot in slots:
+            rid = int(self._slot_rid[slot])
+            emit = [int(t) for t in toks[slot]]
+            self.outputs[rid].extend(emit)
+            if len(self.outputs[rid]) >= self._max_new[rid]:
+                self._retire(rid, slot)
+            else:
+                self._next_tok[slot] = emit[-1]
 
     def _step_speculative(self, slots: np.ndarray) -> None:
         """One n-gram speculative tick: draft from each slot's own history,

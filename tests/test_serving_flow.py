@@ -69,3 +69,32 @@ def test_allocator_driven_paged_decode():
     # free a sequence; its pages return to the pool
     alloc.free_seq(0)
     assert alloc.stats()["free_pages"] == n_pool_pages - 1
+
+
+def test_multi_step_segments_token_identical():
+    """multi_step=N (scanned decode segments) must emit exactly the
+    single-step engine's tokens, retire on budget, and count segments."""
+    import jax
+    import jax.numpy as jnp
+
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [3, 3, 3, 3]]
+    outs = {}
+    for ms in (1, 4):
+        eng = serving.ServingEngine(
+            params, cfg,
+            serving.ServingConfig(page_size=8, num_pages=24, max_batch=2,
+                                  multi_step=ms, prefix_caching=False),
+        )
+        rids = [eng.add_request(p, 11) for p in prompts]
+        done = eng.run()
+        outs[ms] = [done[r] for r in rids]
+        if ms > 1:
+            assert eng.multi_segments > 0
+            assert all(len(t) == 11 for t in outs[ms])
+    assert outs[1] == outs[4]
