@@ -127,9 +127,9 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--scenarios", nargs="+",
                     default=["batching", "prefix", "spec", "window",
-                             "multistep"],
+                             "multistep", "multistep-mixed"],
                     choices=["batching", "prefix", "spec", "window",
-                             "multistep"],
+                             "multistep", "multistep-mixed"],
                     help="scenario groups; comparisons within a group run "
                          "in ONE process (batching = static + continuous + "
                          "prefix cache)")
@@ -250,6 +250,38 @@ def main():
         row_m["token_agreement_vs_single_step"] = round(
             float(np.mean(agree)), 4)
         results["steady_multi_step8"] = row_m
+
+    if "multistep-mixed" in args.scenarios:
+        # ...and on the mixed continuous-batching workload (queue > slots):
+        # segments engage whenever admission is blocked, so the win carries
+        # over to the loaded regime too. Same-process pair, every prompt
+        # bucket's prefill warmed outside the clock.
+        rngw = np.random.RandomState(21)
+        bucket_warm = [
+            (rngw.randint(0, 256, size=L).tolist(), 2)
+            for L in (128, 192, 256, 320)
+        ]
+        row_c1, outs_cm1 = drive(
+            params, cfg, serving.ServingConfig(prefix_caching=False, **base),
+            reqs, interpret=interpret, warm_reqs=bucket_warm)
+        results["mixed_single_step"] = row_c1
+        row_cm, outs_cm = drive(
+            params, cfg,
+            serving.ServingConfig(prefix_caching=False, multi_step=8, **base),
+            reqs, interpret=interpret,
+            # one long-budget warm request so the segment scan compiles
+            # outside the clock too
+            warm_reqs=bucket_warm + [(bucket_warm[0][0], 16)])
+        row_cm["speedup_vs_single_step"] = round(
+            row_c1["wall_s"] / row_cm["wall_s"], 3)
+        agree = [
+            sum(a == b for a, b in zip(outs_cm1[r], outs_cm[r]))
+            / max(len(outs_cm1[r]), 1)
+            for r in outs_cm1
+        ]
+        row_cm["token_agreement_vs_single_step"] = round(
+            float(np.mean(agree)), 4)
+        results["mixed_multi_step8"] = row_cm
 
     if "window" in args.scenarios:
         # 5: windowed engine — bounded pool, rolling reclamation, long

@@ -44,6 +44,10 @@ def main():
                          "prompt lookup, one multi-token verify per tick "
                          "(exact greedy)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--multi-step", type=int, default=1,
+                    help="scan this many decode steps per dispatch when "
+                         "admission is quiescent (2.5x steady tokens/s on "
+                         "the relay transport; SERVING_TPU.json)")
     args = ap.parse_args()
 
     cfg = L.tiny_llm_config(
@@ -67,6 +71,7 @@ def main():
             kv_bits=args.kv_bits,
             spec_ngram=args.spec_ngram,
             spec_k=args.spec_k,
+            multi_step=args.multi_step,
         ),
     )
 

@@ -596,6 +596,7 @@ class ServingEngine:
         self._prompts: Dict[int, np.ndarray] = {}
         self._waiting_rids: List[int] = []
         self._max_new: Dict[int, int] = {}
+        self._eos: Dict[int, Optional[int]] = {}
         self.outputs: Dict[int, List[int]] = {}
         self._finished: Dict[int, List[int]] = {}
         # preempted (swapped-out) requests: rid -> saved private-page payload
@@ -656,7 +657,17 @@ class ServingEngine:
 
     # -- request intake ----------------------------------------------------
 
-    def add_request(self, prompt_tokens: Sequence[int], max_new_tokens: int) -> int:
+    def add_request(
+        self,
+        prompt_tokens: Sequence[int],
+        max_new_tokens: int,
+        eos_token: Optional[int] = None,
+    ) -> int:
+        """Queue a request. ``eos_token``: stop early when the model emits
+        it (the token is included in the output). Works on every decode
+        path — single ticks, speculative verify, and multi-step segments
+        (the over-appended rows past an early stop are rolled back, so
+        cache state matches having stopped exactly at the eos)."""
         prompt = np.asarray(prompt_tokens, np.int32)
         assert prompt.ndim == 1 and prompt.size > 0
         # Speculative steps transiently append up to spec_k rows beyond the
@@ -692,6 +703,7 @@ class ServingEngine:
         self._waiting_rids.append(rid)
         self._prompts[rid] = prompt
         self._max_new[rid] = int(max_new_tokens)
+        self._eos[rid] = None if eos_token is None else int(eos_token)
         self.outputs[rid] = []
         return rid
 
@@ -746,7 +758,7 @@ class ServingEngine:
             # including this prefill-sampled one — or the n-gram key is
             # misaligned at the prompt/generation boundary forever.
             self._ngram[rid].extend([tok])
-        if len(self.outputs[rid]) >= self._max_new[rid]:
+        if self._done(rid):
             self._retire(rid, slot)
             return
         self._seat(rid, slot, tok, prompt.size, pages)
@@ -800,7 +812,15 @@ class ServingEngine:
         self.caches = _write_pages(self.caches, payload, priv)
         self._seat(rid, info["slot"], rec["next_tok"], info["length"], pages)
 
+    def _done(self, rid: int) -> bool:
+        out = self.outputs[rid]
+        if len(out) >= self._max_new[rid]:
+            return True
+        eos = self._eos.get(rid)
+        return eos is not None and bool(out) and out[-1] == eos
+
     def _retire(self, rid: int, slot: int) -> None:
+        self._eos.pop(rid, None)
         self.sched.release(rid)
         if self._spec_decode is not None:
             self._ngram.pop(rid, None)
@@ -842,6 +862,7 @@ class ServingEngine:
             self._ngram.pop(rid, None)
         self._finished[rid] = toks
         self._max_new.pop(rid, None)
+        self._eos.pop(rid, None)
         return toks
 
     def step(self) -> Dict[int, List[int]]:
@@ -884,8 +905,11 @@ class ServingEngine:
         if (
             slots.size
             and self._multi is not None
-            and not self._prompts
-            and not self._paused
+            and not admitted  # nothing admitted THIS tick: queue empty, or
+            # admission blocked on slots/pages — either way nothing can
+            # admit until a running request retires, and segments never
+            # defer a retirement (they require a full segment's budget, so
+            # a request can only finish exactly at a segment end)
             and all(
                 self._max_new[int(self._slot_rid[s])]
                 - len(self.outputs[int(self._slot_rid[s])])
@@ -893,9 +917,6 @@ class ServingEngine:
                 for s in slots
             )
         ):
-            # Queue empty and every active slot has a full segment's budget:
-            # run multi_step ticks as one dispatch. (Otherwise fall through
-            # to the single tick so admissions/retirements stay prompt.)
             self._step_multi(slots)
         elif slots.size and self._spec_decode is not None:
             self._step_speculative(slots)
@@ -919,7 +940,7 @@ class ServingEngine:
                 rid = int(self._slot_rid[slot])
                 tok = int(toks[slot])
                 self.outputs[rid].append(tok)
-                if len(self.outputs[rid]) >= self._max_new[rid]:
+                if self._done(rid):
                     self._retire(rid, slot)
                 else:
                     self._next_tok[slot] = tok
@@ -978,8 +999,11 @@ class ServingEngine:
         for slot in slots:
             rid = int(self._slot_rid[slot])
             emit = [int(t) for t in toks[slot]]
+            eos = self._eos.get(rid)
+            if eos is not None and eos in emit:
+                emit = emit[: emit.index(eos) + 1]
             self.outputs[rid].extend(emit)
-            if len(self.outputs[rid]) >= self._max_new[rid]:
+            if self._done(rid):
                 self._retire(rid, slot)
             else:
                 self._next_tok[slot] = emit[-1]
@@ -1026,6 +1050,9 @@ class ServingEngine:
             while m < len(d) and d[m] == int(g[m]):
                 m += 1
             emit = d[:m] + [int(g[m])]
+            eos = self._eos.get(rid)
+            if eos is not None and eos in emit:
+                emit = emit[: emit.index(eos) + 1]
             self.spec_rounds += 1
             self.spec_accepted += m
             keep = m + 1  # fed rows whose KV stays: [cur, d_1..d_m]
@@ -1033,7 +1060,7 @@ class ServingEngine:
                 self._lengths[slot] = self.sched.rollback(rid, t - keep)
             self._ngram[rid].extend(emit)
             self.outputs[rid].extend(emit)
-            if len(self.outputs[rid]) >= self._max_new[rid]:
+            if self._done(rid):
                 self._retire(rid, slot)
             else:
                 self._next_tok[slot] = emit[-1]

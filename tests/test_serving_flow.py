@@ -98,3 +98,75 @@ def test_multi_step_segments_token_identical():
             assert eng.multi_segments > 0
             assert all(len(t) == 11 for t in outs[ms])
     assert outs[1] == outs[4]
+
+
+def test_multi_step_engages_when_admission_blocked():
+    """With more requests than slots, segments run while admission is
+    blocked and the stream still matches the single-step engine."""
+    import jax
+
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]  # 5 reqs, 2 slots
+    outs = {}
+    segs = 0
+    for ms in (1, 4):
+        eng = serving.ServingEngine(
+            params, cfg,
+            serving.ServingConfig(page_size=8, num_pages=16, max_batch=2,
+                                  multi_step=ms, prefix_caching=False),
+        )
+        rids = [eng.add_request(p, 9) for p in prompts]
+        done = eng.run()
+        outs[ms] = [done[r] for r in rids]
+        segs = eng.multi_segments
+    assert outs[1] == outs[4]
+    assert segs > 0  # segments ran despite a standing queue
+
+
+def test_eos_token_stops_on_every_path():
+    """eos_token stops generation early (eos included in the output) on the
+    single-step, multi-step, and speculative engines — and the pre-eos
+    stream matches the no-eos engine's."""
+    import jax
+
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    def run(scfg_kw, eos):
+        eng = serving.ServingEngine(
+            params, cfg,
+            serving.ServingConfig(page_size=8, num_pages=24, max_batch=2,
+                                  prefix_caching=False, **scfg_kw),
+        )
+        rids = [eng.add_request(p, 16, eos_token=eos) for p in prompts]
+        done = eng.run()
+        return [done[r] for r in rids]
+
+    base = run({}, None)
+    # pick an eos that actually occurs mid-stream in the baseline
+    eos = None
+    for stream in base:
+        for t in stream[:-1]:
+            eos = int(t)
+            break
+        if eos is not None:
+            break
+    assert eos is not None
+    for kw in ({}, {"multi_step": 4}, {"spec_ngram": 2, "spec_k": 3}):
+        outs = run(kw, eos)
+        for full, stopped in zip(base, outs):
+            if eos in full:
+                cut = full.index(eos) + 1
+                assert stopped == full[:cut], (kw, full, stopped)
+            else:
+                assert stopped == full, (kw, full, stopped)
