@@ -274,10 +274,13 @@ def main():
             warm_reqs=bucket_warm + [(bucket_warm[0][0], 16)])
         row_cm["speedup_vs_single_step"] = round(
             row_c1["wall_s"] / row_cm["wall_s"], 3)
+        # align by submission order (rids differ across engines when the
+        # warm request counts differ)
+        l1 = [outs_cm1[r] for r in sorted(outs_cm1)]
+        l2 = [outs_cm[r] for r in sorted(outs_cm)]
         agree = [
-            sum(a == b for a, b in zip(outs_cm1[r], outs_cm[r]))
-            / max(len(outs_cm1[r]), 1)
-            for r in outs_cm1
+            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
+            for x, y in zip(l1, l2)
         ]
         row_cm["token_agreement_vs_single_step"] = round(
             float(np.mean(agree)), 4)
