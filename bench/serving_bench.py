@@ -269,9 +269,13 @@ def main():
             params, cfg,
             serving.ServingConfig(prefix_caching=False, multi_step=8, **base),
             reqs, interpret=interpret,
-            # one long-budget warm request so the segment scan compiles
-            # outside the clock too
-            warm_reqs=bucket_warm + [(bucket_warm[0][0], 16)])
+            # warm requests with budgets hitting every segment-ladder size
+            # (n=8/4/2) so all scan variants compile outside the clock
+            warm_reqs=bucket_warm + [
+                (bucket_warm[0][0], 16),
+                (bucket_warm[0][0], 5),
+                (bucket_warm[0][0], 3),
+            ])
         row_cm["speedup_vs_single_step"] = round(
             row_c1["wall_s"] / row_cm["wall_s"], 3)
         # align by submission order (rids differ across engines when the

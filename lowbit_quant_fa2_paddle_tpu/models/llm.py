@@ -299,11 +299,14 @@ def llm_prefill_chunked(
     which splits once at the cached-prefix boundary).
 
     Cross-attention consumes the cache's own per-token codes (int8/int4 K
-    straight into the quantized kernel; V dequantized per chunk), so the
-    appended rows are IDENTICAL to :func:`llm_prefill`'s cache — only the
-    attention-path quantization differs (logits cos vs the one-shot
-    prefill > 0.999; tests/test_llm.py). Returns (last-token logits
-    ``[B, vocab]``, caches)."""
+    straight into the quantized kernel; V dequantized per chunk). The
+    attention-path quantization differs slightly from the one-shot prefill
+    (which smooths K over the whole sequence), so downstream activations —
+    and therefore the appended cache rows — drift by quantization-level
+    amounts: cache-value cos > 0.999 (int8/bf16 K; 0.99 int4) and
+    last-token logits cos > 0.999 vs :func:`llm_prefill`
+    (tests/test_llm.py). Returns (last-token logits ``[B, vocab]``,
+    caches)."""
     from lowbit_quant_fa2_paddle_tpu.ops.attention import (
         flash_attention_fp,
         lowbit_attention,

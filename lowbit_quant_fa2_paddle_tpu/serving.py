@@ -626,12 +626,12 @@ class ServingEngine:
             self._multi = jax.jit(
                 functools.partial(
                     _multi_decode_steps,
-                    n=scfg.multi_step,
                     cfg=cfg,
                     page_size=scfg.page_size,
                     kv_bits=scfg.kv_bits,
                     interpret=interpret,
                 ),
+                static_argnames=("n",),
                 donate_argnums=(1,),
             )
         self._spec_decode = None
@@ -902,22 +902,27 @@ class ServingEngine:
         slots = np.nonzero(self._active)[0]
         if slots.size and self.scfg.admission == "lazy":
             slots = self._relieve_page_pressure(slots)
-        if (
-            slots.size
-            and self._multi is not None
-            and not admitted  # nothing admitted THIS tick: queue empty, or
-            # admission blocked on slots/pages — either way nothing can
-            # admit until a running request retires, and segments never
-            # defer a retirement (they require a full segment's budget, so
-            # a request can only finish exactly at a segment end)
-            and all(
+        n_seg = 0
+        if (slots.size and self._multi is not None and not self._prompts
+                and not self._paused):
+            # Segments engage only with an EMPTY queue (the steady serving
+            # regime, where they win 2.52x — SERVING_TPU.json). Running
+            # them merely when admission is BLOCKED was measured a net
+            # loss on prefill-heavy mixed workloads (0.91x: dispatches
+            # 239 -> 73 but each segment delays the next admission check
+            # by its device time, costing occupancy). Segment length
+            # ladder: the largest power of two <= min(remaining,
+            # multi_step), so runs with heterogeneous or draining budgets
+            # still segment; at most log2(multi_step) compiled variants.
+            min_rem = min(
                 self._max_new[int(self._slot_rid[s])]
                 - len(self.outputs[int(self._slot_rid[s])])
-                >= self.scfg.multi_step
                 for s in slots
             )
-        ):
-            self._step_multi(slots)
+            n_seg = min(self.scfg.multi_step, min_rem)
+            n_seg = 1 << (max(n_seg, 1).bit_length() - 1)  # floor pow2
+        if n_seg >= 2:
+            self._step_multi(slots, n_seg)
         elif slots.size and self._spec_decode is not None:
             self._step_speculative(slots)
         elif slots.size:
@@ -971,12 +976,11 @@ class ServingEngine:
             pages = [p if p >= 0 else safe for p in pages]
         self._table[slot, : len(pages)] = pages
 
-    def _step_multi(self, slots: np.ndarray) -> None:
-        """One multi-step segment: pre-append multi_step rows per active
-        slot (reserve admission guarantees the pages), run the scanned
-        n-step decode as ONE dispatch, distribute the n tokens. Stream
-        identical to n single ticks (same step body, same argmax)."""
-        n = self.scfg.multi_step
+    def _step_multi(self, slots: np.ndarray, n: int) -> None:
+        """One multi-step segment: pre-append ``n`` rows per active slot
+        (reserve admission guarantees the pages), run the scanned n-step
+        decode as ONE dispatch, distribute the n tokens. Stream identical
+        to n single ticks (same step body, same argmax)."""
         lengths0 = np.array(self._lengths)  # pre-segment lengths
         for slot in slots:
             rid = int(self._slot_rid[slot])
@@ -993,6 +997,7 @@ class ServingEngine:
             jnp.asarray(lengths0),
             jnp.asarray(self._table),
             jnp.asarray(self._active),
+            n=n,
         )
         toks = np.asarray(toks)  # [B, n]
         self.multi_segments += 1

@@ -100,9 +100,11 @@ def test_multi_step_segments_token_identical():
     assert outs[1] == outs[4]
 
 
-def test_multi_step_engages_when_admission_blocked():
-    """With more requests than slots, segments run while admission is
-    blocked and the stream still matches the single-step engine."""
+def test_multi_step_with_standing_queue_token_identical():
+    """With more requests than slots, segments engage once the queue
+    drains (the gate keeps single ticks while admission is possible —
+    measured occupancy tradeoff, PERFORMANCE.md) and the stream still
+    matches the single-step engine."""
     import jax
 
     from lowbit_quant_fa2_paddle_tpu import serving
@@ -125,7 +127,7 @@ def test_multi_step_engages_when_admission_blocked():
         outs[ms] = [done[r] for r in rids]
         segs = eng.multi_segments
     assert outs[1] == outs[4]
-    assert segs > 0  # segments ran despite a standing queue
+    assert segs > 0  # segments engaged after the queue drained
 
 
 def test_eos_token_stops_on_every_path():
