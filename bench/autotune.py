@@ -58,6 +58,7 @@ def tune_decode(args):
     lengths = jnp.full((b,), s, jnp.int32)
     jax.block_until_ready((kq, vq))
     best = None
+    errored = False
     blocks = args.block_kv
     if blocks == [256, 512, 1024]:  # the attention-space default
         blocks = [1024, 2048, 4096, 8192]
@@ -77,6 +78,7 @@ def tune_decode(args):
             try:
                 jax.block_until_ready(fn(*fargs))
             except Exception as e:
+                errored = True
                 print(json.dumps({"block_kv": bkv, "heads_per_step": hb,
                                   "error": str(e)[:120]}), flush=True)
                 continue
@@ -88,6 +90,11 @@ def tune_decode(args):
                 best = row
     print(json.dumps({"best": best, "space": "decode", "kv_bits": args.kv_bits,
                       "seq": s}), flush=True)
+    if args.save and best is not None and errored and not args.save_despite_errors:
+        print(json.dumps({"not_saved": "remote-compile failure poisoned "
+                          "this process's timings; re-measure in a fresh "
+                          "process or pass --save-despite-errors"}), flush=True)
+        return
     if args.save and best is not None:
         path = tuning.record(
             f"decode_k{kb}v{vb}", d, tuning.pow2_bucket(s), False,
@@ -111,6 +118,7 @@ def tune_gemv(args):
     w = jax.random.normal(ks[1], (n, kdim), jnp.float32)
     packed, scale = gemv.pack_weights_per_channel(w, bits=args.gemv_bits)
     best = None
+    errored = False
     for bn in args.block_n:
         fn = jax.jit(
             lambda x, p, sc, _bn=bn: gemv.wq_matmul_per_channel(
@@ -120,6 +128,7 @@ def tune_gemv(args):
         try:
             jax.block_until_ready(fn(x, packed, scale))
         except Exception as e:
+            errored = True
             print(json.dumps({"block_n": bn, "error": str(e)[:120]}), flush=True)
             continue
         t = measure_op_time(fn, (x, packed, scale), r1=60, r2=180, samples=8)
@@ -129,6 +138,11 @@ def tune_gemv(args):
             best = row
     print(json.dumps({"best": best, "space": "gemv", "bits": args.gemv_bits,
                       "n": n, "k": kdim}), flush=True)
+    if args.save and best is not None and errored and not args.save_despite_errors:
+        print(json.dumps({"not_saved": "remote-compile failure poisoned "
+                          "this process's timings; re-measure in a fresh "
+                          "process or pass --save-despite-errors"}), flush=True)
+        return
     if args.save and best is not None:
         path = tuning.record(
             f"gemv_w{args.gemv_bits}", kdim, tuning.pow2_bucket(n), False,
@@ -166,6 +180,14 @@ def main():
                    help="persist the winner to the tuning cache "
                         "(utils/tuning.py); the API then uses it whenever "
                         "block_q/block_kv are left unset for this shape")
+    p.add_argument("--save-despite-errors", action="store_true",
+                   help="allow --save even when a config hit a remote-"
+                        "compile failure: an HTTP-500 poisons the REST of "
+                        "the process's timings 20-70%% slow, so winners "
+                        "measured after one are unreliable (two r4 sweep "
+                        "winners were rejected by fresh-process rechecks); "
+                        "default is to refuse and ask for a fresh-process "
+                        "re-measure of the top candidates")
     args = p.parse_args()
 
     b, h, s, d = args.batch, args.heads, args.seq, args.head_dim
@@ -212,6 +234,7 @@ def main():
         kernel = lowbit_attention
 
     best = None
+    errored = False
     for bq in args.block_q:
         for bkv in args.block_kv:
             if bq > s or bkv > s:
@@ -225,6 +248,7 @@ def main():
             try:
                 jax.block_until_ready(fn(*fargs))
             except Exception as e:  # Mosaic rejection (VMEM, block rules)
+                errored = True
                 print(json.dumps({"block_q": bq, "block_kv": bkv,
                                   "error": str(e)[:120]}), flush=True)
                 continue
@@ -237,6 +261,12 @@ def main():
                 best = row
     print(json.dumps({"best": best, "space": args.space, "seq": s,
                       "causal": args.causal}), flush=True)
+    if args.save and best is not None and errored and not args.save_despite_errors:
+        print(json.dumps({"not_saved": "a config hit a remote-compile "
+                          "failure; timings after it are poisoned — "
+                          "re-measure the winner in a fresh process or "
+                          "pass --save-despite-errors"}), flush=True)
+        return
     if args.save and best is not None:
         from lowbit_quant_fa2_paddle_tpu.utils import tuning
 
