@@ -68,6 +68,8 @@ def make_cfg(args, k_bits, v_bits):
         kv_bits=8,
         k_bits=k_bits,
         v_bits=v_bits,
+        window_size=args.window or None,
+        sink_size=args.sink,
     )
 
 
@@ -117,6 +119,12 @@ def main():
                     help="tokens generated per measured dispatch")
     ap.add_argument("--modes", nargs="+", default=list(MODES),
                     choices=list(MODES))
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window attention (Mistral-class) — the "
+                         "model-level streaming-decode row (compacted "
+                         "banded page walk)")
+    ap.add_argument("--sink", type=int, default=0,
+                    help="StreamingLLM sink tokens (with --window)")
     ap.add_argument("--real-prefill", action="store_true",
                     help="build the cache by actually prefilling a random "
                          "ctx-token prompt through llm_prefill_chunked "
@@ -168,7 +176,8 @@ def main():
         lo = jax.block_until_ready(step(params, tok0, caches))
         wtag = f"+w{args.w_bits}" if args.w_bits else ""
         rtag = "+realprefill" if args.real_prefill else ""
-        key = f"{mode}{wtag}{rtag}@{args.ctx}"
+        gtag = f"+win{args.window}" if args.window else ""
+        key = f"{mode}{wtag}{gtag}{rtag}@{args.ctx}"
         cos = None
         if mode == "bf16":
             logits_ref = lo
