@@ -67,7 +67,6 @@ def main():
         return generate_batch
 
     table = {}
-    details = {}
     gold = None
     for mode, (kb, vb) in MODES.items():
         cfg_mode = llm.LLMConfig(**base, kv_bits=8, k_bits=kb, v_bits=vb)
@@ -102,7 +101,6 @@ def main():
             "exact_match_vs_bf16": round(summary["accuracy"], 4),
             "mean_prefix_agreement": round(float(np.mean(prefix)), 4),
         }
-        details[mode] = summary["results"] if mode != "bf16" else None
         print(f"[llm_acc] {mode:5s}: exact {table[mode]['exact_match_vs_bf16']:.3f}"
               f" | prefix {table[mode]['mean_prefix_agreement']:.3f}",
               file=sys.stderr)

@@ -36,20 +36,22 @@ from lowbit_quant_fa2_paddle_tpu.models import llm
 from lowbit_quant_fa2_paddle_tpu.utils.benchmark import device_memory_stats
 
 
-def make_workload(n, seed=0, shared_frac=0.375, shared_len=192, vocab=256):
+def make_workload(n, seed=0, shared_frac=0.5, shared_len=192, vocab=256):
     """Mixed-length workload: prompt lengths drawn from page-multiple
     BUCKETS {64..320} (prefill jits per prompt shape — real engines bucket
     prefill exactly so a mixed workload doesn't compile per request),
-    outputs 16-96; a shared_frac subset opens with the same
-    shared_len-token prefix (the prefix-cache case: system prompt /
-    few-shot header)."""
+    outputs 16-96; every ``round(1/shared_frac)``-th request opens with
+    the same shared_len-token prefix (the prefix-cache case: system
+    prompt / few-shot header) — the default is HALF the requests (the
+    committed SERVING_TPU.json workload; an earlier 0.375 default was
+    mislabeled — int(1/0.375) == 2 made it 0.5 in practice)."""
     rng = np.random.RandomState(seed)
     shared = rng.randint(0, vocab, size=shared_len).tolist()
     buckets = [64, 128, 192, 256, 320]
     reqs = []
     for i in range(n):
         out = int(rng.randint(16, 97))
-        if i % int(1 / shared_frac + 1e-9) == 0:
+        if i % max(1, round(1 / shared_frac)) == 0:
             plen = int(buckets[rng.randint(3, 5)])  # 256/320: room past prefix
             body = rng.randint(0, vocab, size=plen - shared_len).tolist()
             prompt = shared + body

@@ -25,6 +25,7 @@ from lowbit_quant_fa2_paddle_tpu.ops.attention import (
     flash_attention_fp,
     lowbit_attention,
     lowbit_attention_km,
+    resolve_fp_schedule,
 )
 from lowbit_quant_fa2_paddle_tpu.ops.fused_kv import (
     fused_packed_kv_attention,
@@ -182,9 +183,10 @@ def main():
                 "bits": bits,
                 "seq": s,
                 "causal": args.causal,
-                # fp routes by head_dim since r4 (K-major < d128, Q-major >=)
-                "space": args.space if bits != "fp" else (
-                    "q" if args.head_dim >= 128 else "k"),
+                # fp routes by head_dim since r4 — label with the actual
+                # schedule, from the single source of truth
+                "space": args.space if bits != "fp" else resolve_fp_schedule(
+                    args.head_dim),
                 "tflops": round(tflops(flops, t), 2),
                 "ms": round(t * 1e3, 3),
             }

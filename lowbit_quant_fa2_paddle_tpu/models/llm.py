@@ -272,10 +272,7 @@ def _dequant_cache_rows(codes: jax.Array, scale: jax.Array, bits: int,
     if bits == 16:
         return codes.astype(dtype)
     if bits == 4:
-        c32 = codes.astype(jnp.int32)
-        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(c32, 28), 28)
-        hi = jax.lax.shift_right_arithmetic(c32, 4)
-        vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        vals = dec._unpack4_cols(codes)  # halves-of-D nibble scheme
     else:
         vals = codes.astype(jnp.float32)
     return (vals * scale[..., None]).astype(dtype)

@@ -1518,6 +1518,13 @@ def lowbit_attention_km(
     return oT
 
 
+def resolve_fp_schedule(head_dim: int) -> str:
+    """The fp kernel's measured-best schedule by head_dim (one-process
+    A/Bs, r2+r4; see flash_attention_fp). Exported so benchmarks label
+    artifacts with the schedule that actually ran."""
+    return "q" if head_dim >= 128 else "k"
+
+
 def flash_attention_fp(
     q: jax.Array,
     k: jax.Array,
@@ -1548,7 +1555,7 @@ def flash_attention_fp(
     hd128 in the same process). ``"q"`` also alone supports
     ``static_max``."""
     if schedule == "auto":
-        schedule = "q" if q.shape[-1] >= 128 else "k"
+        schedule = resolve_fp_schedule(q.shape[-1])
     if schedule == "k":
         out = lowbit_attention_km(
             jnp.swapaxes(q, 2, 3),

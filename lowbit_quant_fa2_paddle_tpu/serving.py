@@ -96,7 +96,7 @@ class ServingConfig:
     # steps as ONE on-device lax.scan dispatch (greedy argmax feeds back
     # on device), amortizing the per-tick host round trip that otherwise
     # bounds serving throughput on dispatch-latency-heavy transports
-    # (measured 2.6x steady-state tokens/s, SERVING_TPU.json). The segment
+    # (measured 2.52x steady-state tokens/s, SERVING_TPU.json). The segment
     # runs the SAME step body — bit-identical to single ticks on CPU
     # (tests/test_serving_flow.py) — but as a separately-compiled XLA
     # program, so bf16 reductions may fuse in a different order and
@@ -201,17 +201,10 @@ class PrefixCache:
         return len(self._entries)
 
 
-def _merge_lse(o1: jax.Array, l1: jax.Array, o2: jax.Array, l2: jax.Array):
-    """Merge two partial attentions via their base-2 LSEs (the same contract
-    ring attention uses across chips, parallel/ring.py)."""
-    m = jnp.maximum(l1, l2)
-    w1 = jnp.exp2(l1 - m)
-    w2 = jnp.exp2(l2 - m)
-    den = w1 + w2
-    o = o1.astype(jnp.float32) * (w1 / den)[..., None] + o2.astype(jnp.float32) * (
-        w2 / den
-    )[..., None]
-    return o.astype(o1.dtype)
+# Base-2 LSE merge — ONE implementation, shared with chunked prefill
+# (models/llm.py) so the prefix-cache and chunked-prefill paths cannot
+# drift numerically.
+_merge_lse = L.merge_lse
 
 
 def _chunked_prefill_forward(
@@ -665,9 +658,12 @@ class ServingEngine:
     ) -> int:
         """Queue a request. ``eos_token``: stop early when the model emits
         it (the token is included in the output). Works on every decode
-        path — single ticks, speculative verify, and multi-step segments
-        (the over-appended rows past an early stop are rolled back, so
-        cache state matches having stopped exactly at the eos)."""
+        path — single ticks, speculative verify, and multi-step segments.
+        An eos hit always RETIRES the request immediately, releasing its
+        slot and pages; rows appended past the stop inside a speculative
+        or multi-step batch die with the release and are never read (they
+        are NOT rolled back in place — do not keep a post-eos request's
+        cache)."""
         prompt = np.asarray(prompt_tokens, np.int32)
         assert prompt.ndim == 1 and prompt.size > 0
         # Speculative steps transiently append up to spec_k rows beyond the
