@@ -54,6 +54,10 @@ class ServingConfig:
     num_pages: int = 64  # shared page pool size
     max_batch: int = 4  # decode slots
     kv_bits: int = 8  # 8 (int8) or 4 (nibble-packed) KV pages
+    # Per-side overrides (LLMConfig parity): e.g. k_bits=4, v_bits=8 serves
+    # the measured 128K latency+memory winner k4v8 (DECODE_TPU.json).
+    k_bits: Optional[int] = None
+    v_bits: Optional[int] = None
     # Static page-table width (max pages any one sequence may hold);
     # defaults to the whole pool.
     max_pages_per_seq: Optional[int] = None
@@ -112,16 +116,24 @@ class ServingConfig:
     def table_width(self) -> int:
         return self.num_pages if self.max_pages_per_seq is None else self.max_pages_per_seq
 
+    @property
+    def eff_k_bits(self) -> int:
+        return self.kv_bits if self.k_bits is None else self.k_bits
+
+    @property
+    def eff_v_bits(self) -> int:
+        return self.kv_bits if self.v_bits is None else self.v_bits
+
 
 def _empty_paged_caches(cfg: L.LLMConfig, scfg: ServingConfig) -> List[dict]:
     hk, hd = cfg.num_kv_heads, cfg.head_dim
-    dk = hd if scfg.kv_bits == 8 else hd // 2
-    shape_c = (hk, scfg.num_pages, scfg.page_size, dk)
+    dk = hd if scfg.eff_k_bits == 8 else hd // 2
+    dv = hd if scfg.eff_v_bits == 8 else hd // 2
     shape_s = (hk, scfg.num_pages, scfg.page_size)
     return [
         {
-            "k": jnp.zeros(shape_c, jnp.int8),
-            "v": jnp.zeros(shape_c, jnp.int8),
+            "k": jnp.zeros((hk, scfg.num_pages, scfg.page_size, dk), jnp.int8),
+            "v": jnp.zeros((hk, scfg.num_pages, scfg.page_size, dv), jnp.int8),
             "k_scale": jnp.ones(shape_s, jnp.float32),
             "v_scale": jnp.ones(shape_s, jnp.float32),
         }
@@ -213,7 +225,7 @@ def _chunked_prefill_forward(
     prefix_kv: List[tuple],  # per layer: (k_codes [Hk,Sp,dk], ks [Hk,Sp], v_codes, vs)
     s_pre: int,
     cfg: L.LLMConfig,
-    kv_bits: int,
+    kv_bits: Tuple[int, int],  # (k_bits, v_bits) of the paged caches
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[tuple]]:
     """Prefill that REUSES cached quantized prefix KV: the suffix's causal
@@ -236,24 +248,15 @@ def _chunked_prefill_forward(
 
         # V prefix: exact per-token dequant (the kernel's int8-V fast path
         # wants per-channel scales; per-token V scales fold here instead).
-        if kv_bits == 4:
-            d_half = hd // 2
-            vc32 = vc_pre.astype(jnp.int32)
-            lo = ((vc32 << 28) >> 28).astype(jnp.float32)
-            hi = (vc32 >> 4).astype(jnp.float32)
-            v_deq = jnp.concatenate([lo, hi], axis=-1)
-            kc32 = kc_pre.astype(jnp.int32)
-            klo = ((kc32 << 28) >> 28).astype(jnp.float32)
-            khi = (kc32 >> 4).astype(jnp.float32)
-            k_deq = jnp.concatenate([klo, khi], axis=-1)
-            v_pre = (v_deq * vs_pre[..., None]).astype(jnp.bfloat16)
-            k_pre = (k_deq * ks_pre[..., None]).astype(jnp.bfloat16)
+        kb, vb = kv_bits
+        v_pre = L._dequant_cache_rows(vc_pre, vs_pre, vb, jnp.bfloat16)
+        if kb == 4:
+            k_pre = L._dequant_cache_rows(kc_pre, ks_pre, 4, jnp.bfloat16)
             o1, l1 = lowbit_attention(
                 q, k_pre[None], v_pre[None], fused_quant=True,
                 is_causal=False, return_lse=True, interpret=interpret,
             )
         else:
-            v_pre = (vc_pre.astype(jnp.float32) * vs_pre[..., None]).astype(jnp.bfloat16)
             o1, l1 = lowbit_attention(
                 q, kc_pre[None], v_pre[None], k_scale=ks_pre[None],
                 fused_quant_q=True, is_causal=False, return_lse=True,
@@ -268,9 +271,12 @@ def _chunked_prefill_forward(
         xm = L._rms_norm(x, blk["ln2"])
         x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
 
-        qtok = functools.partial(dec.quantize_token, bits=kv_bits)
-        kq, ks = jax.vmap(qtok, in_axes=2, out_axes=2)(k)
-        vq, vs = jax.vmap(qtok, in_axes=2, out_axes=2)(v)
+        kq, ks = jax.vmap(
+            functools.partial(dec.quantize_token, bits=kv_bits[0]),
+            in_axes=2, out_axes=2)(k)
+        vq, vs = jax.vmap(
+            functools.partial(dec.quantize_token, bits=kv_bits[1]),
+            in_axes=2, out_axes=2)(v)
         per_layer.append((kq[0], ks[0], vq[0], vs[0]))
 
     logits = L._rms_norm(x[:, -1], params["ln_f"]) @ params["embed"].T
@@ -281,7 +287,7 @@ def _prefill_forward(
     params: Params,
     tokens: jax.Array,  # [1, S]
     cfg: L.LLMConfig,
-    kv_bits: int,
+    kv_bits: Tuple[int, int],
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[tuple]]:
     """Prompt forward (int8 causal attention, models/llm.py dataflow) that
@@ -305,9 +311,12 @@ def _prefill_forward(
         xm = L._rms_norm(x, blk["ln2"])
         x = x + L._mm(jax.nn.silu(L._mm(xm, blk["w1"], interpret)), blk["w2"], interpret)
 
-        qtok = functools.partial(dec.quantize_token, bits=kv_bits)
-        kq, ks = jax.vmap(qtok, in_axes=2, out_axes=2)(k)  # [1,Hk,S,dk], [1,Hk,S]
-        vq, vs = jax.vmap(qtok, in_axes=2, out_axes=2)(v)
+        kq, ks = jax.vmap(
+            functools.partial(dec.quantize_token, bits=kv_bits[0]),
+            in_axes=2, out_axes=2)(k)  # [1,Hk,S,dk], [1,Hk,S]
+        vq, vs = jax.vmap(
+            functools.partial(dec.quantize_token, bits=kv_bits[1]),
+            in_axes=2, out_axes=2)(v)
         per_layer.append((kq[0], ks[0], vq[0], vs[0]))
 
     logits = L._rms_norm(x[:, -1], params["ln_f"]) @ params["embed"].T
@@ -324,7 +333,7 @@ def _decode_step(
     *,
     cfg: L.LLMConfig,
     page_size: int,
-    kv_bits: int,
+    kv_bits: Tuple[int, int],
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[dict]]:
     """One batched decode step: write each active slot's new-token quantized
@@ -349,7 +358,7 @@ def _spec_decode_step(
     *,
     cfg: L.LLMConfig,
     page_size: int,
-    kv_bits: int,
+    kv_bits: Tuple[int, int],
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[dict]]:
     """Speculative-verify twin of :func:`_decode_step`: write T tokens'
@@ -377,8 +386,8 @@ def _spec_decode_step(
         v = L._mm(xa, blk["wv"], interpret).reshape(b, t, hk, hd).swapaxes(1, 2)
         q = L._rope(q, pos, cfg.rope_theta)  # [B,H,T,hd]
         k = L._rope(k, pos, cfg.rope_theta)  # [B,Hk,T,hd]
-        kq, ks = dec.quantize_token(k.swapaxes(1, 2), bits=kv_bits)  # [B,T,Hk,dk]
-        vq, vs = dec.quantize_token(v.swapaxes(1, 2), bits=kv_bits)
+        kq, ks = dec.quantize_token(k.swapaxes(1, 2), bits=kv_bits[0])  # [B,T,Hk,dk]
+        vq, vs = dec.quantize_token(v.swapaxes(1, 2), bits=kv_bits[1])
         cache = {
             "k": cache["k"].at[:, pid, off].set(
                 kq.transpose(2, 0, 1, 3), mode="drop"
@@ -401,7 +410,8 @@ def _spec_decode_step(
             kv_lengths,
             v_scale=cache["v_scale"],
             page_table=page_table,
-            kv_bits=kv_bits,
+            k_bits=kv_bits[0],
+            v_bits=kv_bits[1],
             block_kv=page_size,
             window_size=cfg.window_size,
             sink_size=cfg.sink_size,
@@ -427,7 +437,7 @@ def _multi_decode_steps(
     n: int,
     cfg: L.LLMConfig,
     page_size: int,
-    kv_bits: int,
+    kv_bits: Tuple[int, int],
     interpret: Optional[bool],
 ) -> Tuple[jax.Array, List[dict]]:
     """``n`` batched decode steps as ONE ``lax.scan`` (greedy argmax feeds
@@ -601,7 +611,7 @@ class ServingEngine:
                 _decode_step,
                 cfg=cfg,
                 page_size=scfg.page_size,
-                kv_bits=scfg.kv_bits,
+                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
                 interpret=interpret,
             ),
             donate_argnums=(1,),
@@ -621,7 +631,7 @@ class ServingEngine:
                     _multi_decode_steps,
                     cfg=cfg,
                     page_size=scfg.page_size,
-                    kv_bits=scfg.kv_bits,
+                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
                     interpret=interpret,
                 ),
                 static_argnames=("n",),
@@ -642,7 +652,7 @@ class ServingEngine:
                     _spec_decode_step,
                     cfg=cfg,
                     page_size=scfg.page_size,
-                    kv_bits=scfg.kv_bits,
+                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
                     interpret=interpret,
                 ),
                 donate_argnums=(1,),
@@ -730,13 +740,14 @@ class ServingEngine:
                 ))
             logits, per_layer = _chunked_prefill_forward(
                 self.params, jnp.asarray(prompt[s_pre:])[None], prefix_kv,
-                s_pre, self.cfg, self.scfg.kv_bits, self.interpret,
+                s_pre, self.cfg,
+                (self.scfg.eff_k_bits, self.scfg.eff_v_bits), self.interpret,
             )
         else:
             s_pre = 0
             logits, per_layer = _prefill_forward(
                 self.params, jnp.asarray(prompt)[None], self.cfg,
-                self.scfg.kv_bits, self.interpret,
+                (self.scfg.eff_k_bits, self.scfg.eff_v_bits), self.interpret,
             )
         # per_layer rows start at position s_pre == n_shared pages; one
         # jitted donated scatter writes every private page of every layer

@@ -266,7 +266,7 @@ class TestServingEngine:
         prompt = np.arange(1, 25, dtype=np.int32)  # 24 tokens
         s_pre = 16
         full_logits, full_kv = _prefill_forward(
-            params, jnp.asarray(prompt)[None], cfg, 8, None
+            params, jnp.asarray(prompt)[None], cfg, (8, 8), None
         )
         # build the prefix KV exactly as the cache stores it (per-token quant)
         prefix_kv = [
@@ -274,7 +274,8 @@ class TestServingEngine:
             for (kq, ks, vq, vs) in full_kv
         ]
         ch_logits, ch_kv = _chunked_prefill_forward(
-            params, jnp.asarray(prompt[s_pre:])[None], prefix_kv, s_pre, cfg, 8, None
+            params, jnp.asarray(prompt[s_pre:])[None], prefix_kv, s_pre, cfg,
+            (8, 8), None
         )
         a = np.asarray(full_logits, np.float32)
         b = np.asarray(ch_logits, np.float32)
@@ -379,3 +380,36 @@ class TestServingEngine:
         toks = eng.run()[rid]
         assert len(toks) == max_new
         assert all(0 <= t < cfg.vocab for t in toks)
+
+
+def test_engine_k4v8_pages():
+    """Per-side cache bits in the engine (ServingConfig k_bits/v_bits):
+    the measured k4v8 decode winner is serveable — half-width K pages,
+    generations track the int8-page engine."""
+    import jax
+
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    outs = {}
+    for name, kw in (("int8", {}), ("k4v8", {"k_bits": 4, "v_bits": 8})):
+        eng = serving.ServingEngine(
+            params, cfg,
+            serving.ServingConfig(page_size=8, num_pages=24, max_batch=2,
+                                  prefix_caching=False, **kw),
+        )
+        if name == "k4v8":
+            assert eng.caches[0]["k"].shape[-1] == cfg.head_dim // 2
+            assert eng.caches[0]["v"].shape[-1] == cfg.head_dim
+        rids = [eng.add_request(p, 10) for p in prompts]
+        done = eng.run()
+        outs[name] = [done[r] for r in rids]
+    agree = sum(
+        a == b for x, y in zip(outs["int8"], outs["k4v8"])
+        for a, b in zip(x, y)
+    ) / 20
+    assert agree >= 0.6, (agree, outs)
