@@ -386,10 +386,11 @@ def flash_attention_trainable(q, k, v, is_causal=False, sm_scale=None,
 
 def _flash_fwd_impl(q, k, v, is_causal, sm_scale, block_q, block_kv,
                     window_size=None):
-    # Forward routes the production K-major schedule with its tuned blocks
-    # (on-chip: 3.4 ms vs 7.2 Q-major at b4 h16 s4096 d64 — the trainable
-    # path's fwd was 2.1x slow until this). block_q/block_kv only shape the
-    # BACKWARD kernels' tiles.
+    # Forward routes flash_attention_fp's auto schedule — K-major below
+    # d128 (on-chip: 3.4 ms vs 7.2 Q-major at b4 h16 s4096 d64 — the
+    # trainable path's fwd was 2.1x slow until this), Q-major at d>=128
+    # (r4 routing; see resolve_fp_schedule). block_q/block_kv only shape
+    # the BACKWARD kernels' tiles.
     d = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
