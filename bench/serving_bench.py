@@ -129,9 +129,9 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--scenarios", nargs="+",
                     default=["batching", "prefix", "spec", "window",
-                             "multistep", "multistep-mixed"],
+                             "multistep", "multistep-mixed", "async"],
                     choices=["batching", "prefix", "spec", "window",
-                             "multistep", "multistep-mixed"],
+                             "multistep", "multistep-mixed", "async"],
                     help="scenario groups; comparisons within a group run "
                          "in ONE process (batching = static + continuous + "
                          "prefix cache)")
@@ -291,6 +291,32 @@ def main():
         row_cm["token_agreement_vs_single_step"] = round(
             float(np.mean(agree)), 4)
         results["mixed_multi_step8"] = row_cm
+
+    if "async" in args.scenarios:
+        # 7: asynchronous scheduling — tokens stay on device, values fetch
+        # only at retirements. Unlike multi_step this keeps per-tick
+        # admissions, so it applies to the loaded mixed regime too. Pairs
+        # run in one process, prompt buckets warmed outside the clock.
+        rngw = np.random.RandomState(23)
+        bucket_warm = [
+            (rngw.randint(0, 256, size=L).tolist(), 2)
+            for L in (128, 192, 256, 320)
+        ]
+        row_s1, outs_s1 = drive(
+            params, cfg, serving.ServingConfig(prefix_caching=False, **base),
+            reqs, interpret=interpret, warm_reqs=bucket_warm)
+        results["mixed_sync_fetch"] = row_s1
+        row_a, outs_a = drive(
+            params, cfg,
+            serving.ServingConfig(prefix_caching=False, async_fetch=True,
+                                  **base),
+            reqs, interpret=interpret, warm_reqs=bucket_warm)
+        row_a["speedup_vs_sync_fetch"] = round(
+            row_s1["wall_s"] / row_a["wall_s"], 3)
+        l1 = [outs_s1[r] for r in sorted(outs_s1)]
+        l2 = [outs_a[r] for r in sorted(outs_a)]
+        row_a["tokens_identical_to_sync"] = bool(l1 == l2)
+        results["mixed_async_fetch"] = row_a
 
     if "window" in args.scenarios:
         # 5: windowed engine — bounded pool, rolling reclamation, long

@@ -111,6 +111,21 @@ class ServingConfig:
     # tick is already multi-token) or window_size (rolling trim is
     # per-append).
     multi_step: int = 1
+    # Asynchronous scheduling (vLLM async-scheduling analog): keep sampled
+    # tokens ON DEVICE and feed them straight into the next tick's decode —
+    # the per-tick value fetch exists only to read token VALUES, but
+    # scheduling needs only COUNTS (appends, page tables, retirement-by-
+    # budget are all value-free). Values materialize in one batched fetch
+    # at each retirement (and at cancel/drain). Admissions still happen
+    # every tick, so unlike multi_step there is no occupancy tradeoff in
+    # mixed workloads. Requires admission="reserve"; excludes spec_ngram,
+    # multi_step, and per-request eos_token (each needs token values per
+    # tick). Measured on the axon relay: 0.95x (SERVING_TPU.json
+    # mixed_async_fetch — that transport's tick cost is the DISPATCH round
+    # trip, which both modes pay, and async adds per-tick uploads of the
+    # copied scheduler arrays); token-identical to sync. Default off; for
+    # transports where the value fetch dominates the tick.
+    async_fetch: bool = False
 
     @property
     def table_width(self) -> int:
@@ -462,6 +477,21 @@ def _multi_decode_steps(
     return jnp.swapaxes(toks, 0, 1), caches
 
 
+def _decode_sample_step(params, caches, tokens, lengths, page_table, active,
+                        *, cfg, page_size, kv_bits, interpret):
+    """:func:`_decode_step` + greedy argmax in ONE jitted program (async
+    scheduling): the sampled tokens come out of the same XLA computation
+    that donates the caches, so no host-side standalone op can race the
+    donation (observed: a separate `jnp.argmax` dispatched between two
+    donating decode calls intermittently read corrupted logits on the CPU
+    backend — 1-in-5 divergence, gone with in-program sampling)."""
+    logits, caches = _decode_step(
+        params, caches, tokens, lengths, page_table, active,
+        cfg=cfg, page_size=page_size, kv_bits=kv_bits, interpret=interpret,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+
+
 class _NgramIndex:
     """Prompt-lookup drafting index (the draft-model-free speculation vLLM
     ships as 'ngram'): for the token history's current n-token suffix, find
@@ -616,6 +646,29 @@ class ServingEngine:
             ),
             donate_argnums=(1,),
         )
+        self._async = scfg.async_fetch
+        if self._async:
+            if scfg.admission != "reserve":
+                raise ValueError("async_fetch requires admission='reserve'")
+            if scfg.spec_ngram > 0 or scfg.multi_step > 1:
+                raise ValueError(
+                    "async_fetch excludes spec_ngram/multi_step (both need "
+                    "token values per tick)")
+        self._next_tok_dev = None  # device-resident next tokens (async mode)
+        self._pending: List[tuple] = []  # (slot->rid map, device tokens)
+        self._out_count: Dict[int, int] = {}  # async: emitted-token counts
+        self._decode_sample = None
+        if self._async:
+            self._decode_sample = jax.jit(
+                functools.partial(
+                    _decode_sample_step,
+                    cfg=cfg,
+                    page_size=scfg.page_size,
+                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
+                    interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
         self._multi = None
         self.multi_segments = 0
         if scfg.multi_step > 1:
@@ -676,6 +729,9 @@ class ServingEngine:
         cache)."""
         prompt = np.asarray(prompt_tokens, np.int32)
         assert prompt.ndim == 1 and prompt.size > 0
+        if eos_token is not None and self._async:
+            raise ValueError("eos_token needs per-tick token values; "
+                             "disable async_fetch for stop-token requests")
         # Speculative steps transiently append up to spec_k rows beyond the
         # final accepted length — reserve (and table-width) the overshoot.
         spec_slack = self.scfg.spec_k if self.scfg.spec_ngram > 0 else 0
@@ -760,6 +816,7 @@ class ServingEngine:
         slot = self.sched.info(rid)["slot"]
         tok = int(np.asarray(jnp.argmax(logits)))
         self.outputs[rid].append(tok)
+        self._out_count[rid] = 1
         if self._spec_decode is not None:
             # The draft history must track prompt + EVERY emitted token —
             # including this prefill-sampled one — or the n-gram key is
@@ -775,6 +832,8 @@ class ServingEngine:
         self._slot_rid[slot] = rid
         self._active[slot] = True
         self._next_tok[slot] = next_tok
+        if self._async and self._next_tok_dev is not None:
+            self._next_tok_dev = self._next_tok_dev.at[slot].set(next_tok)
         self._lengths[slot] = length
         row = np.zeros((self.scfg.table_width,), np.int32)
         row[: len(pages)] = pages
@@ -827,6 +886,7 @@ class ServingEngine:
         return eos is not None and bool(out) and out[-1] == eos
 
     def _retire(self, rid: int, slot: int) -> None:
+        self._out_count.pop(rid, None)
         self._eos.pop(rid, None)
         self.sched.release(rid)
         if self._spec_decode is not None:
@@ -847,6 +907,7 @@ class ServingEngine:
         release their slot and pages."""
         if rid in self._finished:
             return self._finished[rid]
+        self._drain_pending()  # async mode: materialize before returning
         if rid in self._prompts:  # waiting, never prefilled
             self.sched.cancel(rid)
             self._waiting_rids.remove(rid)
@@ -939,24 +1000,73 @@ class ServingEngine:
                 assert new_len > 0, "page pressure relief failed"
                 self._lengths[slot] = new_len
                 self._update_slot_table(slot, rid, new_len)
-            logits, self.caches = self._decode(
-                self.params,
-                self.caches,
-                jnp.asarray(self._next_tok),
-                jnp.asarray(self._lengths),
-                jnp.asarray(self._table),
-                jnp.asarray(self._active),
-            )
-            toks = np.asarray(jnp.argmax(logits, axis=-1))
-            for slot in slots:
-                rid = int(self._slot_rid[slot])
-                tok = int(toks[slot])
-                self.outputs[rid].append(tok)
-                if self._done(rid):
-                    self._retire(rid, slot)
+            if self._async:
+                if self._next_tok_dev is None:
+                    self._next_tok_dev = jnp.asarray(self._next_tok)
+                # COPY the host-side scheduler arrays at dispatch: on the
+                # CPU backend jnp.asarray aliases numpy memory zero-copy,
+                # and async mode mutates these arrays for the NEXT tick
+                # while the in-flight computation still reads them (the
+                # sync path never races because its value fetch serializes
+                # every tick; observed 1-in-5 token corruption without the
+                # copies).
+                nxt, self.caches = self._decode_sample(
+                    self.params,
+                    self.caches,
+                    self._next_tok_dev,
+                    jnp.asarray(self._lengths.copy()),
+                    jnp.asarray(self._table.copy()),
+                    jnp.asarray(self._active.copy()),
+                )
+                self._next_tok_dev = nxt  # feeds the next tick, no fetch
+                slot_rids = {int(sl): int(self._slot_rid[sl]) for sl in slots}
+                self._pending.append((slot_rids, nxt))
+                if any(
+                    self._out_count[rid] + 1 >= self._max_new[rid]
+                    for rid in slot_rids.values()
+                ):
+                    # a retirement is due: materialize values (ONE batched
+                    # fetch for every deferred tick), then retire by value
+                    self._drain_pending()
+                    for sl, rid in slot_rids.items():
+                        if len(self.outputs[rid]) >= self._max_new[rid]:
+                            self._retire(rid, sl)
+                        else:
+                            self._next_tok[sl] = self.outputs[rid][-1]
                 else:
-                    self._next_tok[slot] = tok
+                    for rid in slot_rids.values():
+                        self._out_count[rid] += 1
+            else:
+                logits, self.caches = self._decode(
+                    self.params,
+                    self.caches,
+                    jnp.asarray(self._next_tok),
+                    jnp.asarray(self._lengths),
+                    jnp.asarray(self._table),
+                    jnp.asarray(self._active),
+                )
+                toks = np.asarray(jnp.argmax(logits, axis=-1))
+                for slot in slots:
+                    rid = int(self._slot_rid[slot])
+                    tok = int(toks[slot])
+                    self.outputs[rid].append(tok)
+                    if self._done(rid):
+                        self._retire(rid, slot)
+                    else:
+                        self._next_tok[slot] = tok
         return {r: t for r, t in self._finished.items() if r not in done_before}
+
+    def _drain_pending(self) -> None:
+        """Materialize every deferred tick's tokens (async_fetch) with one
+        batched device fetch and append them to the owning requests."""
+        if not self._pending:
+            return
+        toks_host = jax.device_get([t for _, t in self._pending])
+        for (slot_rids, _), tok in zip(self._pending, toks_host):
+            for sl, rid in slot_rids.items():
+                self.outputs[rid].append(int(tok[sl]))
+                self._out_count[rid] = len(self.outputs[rid])
+        self._pending.clear()
 
     def _update_slot_table(self, slot: int, rid: int, new_len: int,
                            spec_slack: int = 0) -> None:

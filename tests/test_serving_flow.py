@@ -172,3 +172,30 @@ def test_eos_token_stops_on_every_path():
                 assert stopped == full[:cut], (kw, full, stopped)
             else:
                 assert stopped == full, (kw, full, stopped)
+
+
+def test_async_fetch_token_identical():
+    """async_fetch (device-resident tokens, values fetched only at
+    retirement) emits exactly the synchronous engine's tokens, including
+    with a standing queue and mid-flight admissions."""
+    import jax
+
+    from lowbit_quant_fa2_paddle_tpu import serving
+    from lowbit_quant_fa2_paddle_tpu.models import llm
+
+    cfg = llm.LLMConfig(vocab=64, dim=64, depth=1, num_heads=2,
+                        num_kv_heads=1, max_seq=128)
+    params = llm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]  # 5 reqs, 2 slots
+    outs = {}
+    for mode in (False, True):
+        eng = serving.ServingEngine(
+            params, cfg,
+            serving.ServingConfig(page_size=8, num_pages=16, max_batch=2,
+                                  async_fetch=mode, prefix_caching=False),
+        )
+        rids = [eng.add_request(p, 9) for p in prompts]
+        done = eng.run()
+        outs[mode] = [done[r] for r in rids]
+        assert all(len(t) == 9 for t in outs[mode])
+    assert outs[False] == outs[True]
