@@ -84,6 +84,7 @@ def _decode_kernel(
     group: int = 1,
     compact: bool = False,
     sink_pages: int = 0,
+    fast_interior: bool = False,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -131,7 +132,7 @@ def _decode_kernel(
     else:
         j_act = j
 
-    def _head_block(t):
+    def _head_block(t, masked=True):
         rows = slice(t * gp, (t + 1) * gp)
         q = q_ref[0, t]  # [G, D] f32
         ks_row = ks_ref[t, 0]  # [1, BK]
@@ -197,36 +198,37 @@ def _decode_kernel(
             # tanh capping in natural space (reference quant_sglang logit_cap)
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = s * LOG2E
-        pos = j_act * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        if q_tokens > 1:
-            # Per-row causal limit: row r belongs to query token r // group.
-            row_t = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // group
-            limit = length - (q_tokens - 1) + row_t  # [G, 1]
-        else:
-            limit = length
-        valid = pos < limit
-        if compact:
-            # Disjoint phase partition of the visible set (see j_act above).
-            # NB: composed with and/or, never jnp.where — Mosaic cannot
-            # legalize arith.select on i1 VECTORS (compiles only in
-            # interpret mode).
-            win_ok = pos >= limit - window
-            if sink > 0:
-                win_ok = jnp.logical_and(win_ok, pos >= sink)
-                phase = jnp.logical_or(
-                    jnp.logical_and(is_sink_step, pos < sink),
-                    jnp.logical_and(jnp.logical_not(is_sink_step), win_ok),
-                )
+        if masked:
+            pos = j_act * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            if q_tokens > 1:
+                # Per-row causal limit: row r belongs to query token r // group.
+                row_t = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // group
+                limit = length - (q_tokens - 1) + row_t  # [G, 1]
             else:
-                phase = win_ok
-            valid = jnp.logical_and(valid, phase)
-        elif window is not None and window > 0:
-            inw = pos >= limit - window
-            if sink > 0:
-                # StreamingLLM anchors: keys [0, sink) stay visible.
-                inw = jnp.logical_or(inw, pos < sink)
-            valid = jnp.logical_and(valid, inw)
-        s = jnp.where(valid, s, MASK_VALUE)
+                limit = length
+            valid = pos < limit
+            if compact:
+                # Disjoint phase partition of the visible set (see j_act above).
+                # NB: composed with and/or, never jnp.where — Mosaic cannot
+                # legalize arith.select on i1 VECTORS (compiles only in
+                # interpret mode).
+                win_ok = pos >= limit - window
+                if sink > 0:
+                    win_ok = jnp.logical_and(win_ok, pos >= sink)
+                    phase = jnp.logical_or(
+                        jnp.logical_and(is_sink_step, pos < sink),
+                        jnp.logical_and(jnp.logical_not(is_sink_step), win_ok),
+                    )
+                else:
+                    phase = win_ok
+                valid = jnp.logical_and(valid, phase)
+            elif window is not None and window > 0:
+                inw = pos >= limit - window
+                if sink > 0:
+                    # StreamingLLM anchors: keys [0, sink) stay visible.
+                    inw = jnp.logical_or(inw, pos < sink)
+                valid = jnp.logical_and(valid, inw)
+            s = jnp.where(valid, s, MASK_VALUE)
 
         m_prev = m_scr[rows]
         l_prev = l_scr[rows]
@@ -303,10 +305,67 @@ def _decode_kernel(
             in_band = jnp.logical_or(in_band, j * block_kv < sink)
         live = jnp.logical_and(live, in_band)
 
-    @pl.when(live)
-    def _compute():
-        for t in range(heads_per_step):
-            _head_block(t)
+    # Interior-page fast path (default-off A/B probe): a grid step whose
+    # whole [lo, hi) token range is visible to EVERY query row needs no
+    # position mask — skipping the iota + compare + select chain removes
+    # ~3 passes over the [G, BK] logits tile. On v5e this measured a WASH
+    # (the DMA pipeline already hides those VPU passes; see the
+    # fast_interior launcher docstring), so the masked chain stays the
+    # default. The scalar predicate is exact: on-chip fast/masked outputs
+    # are bit-identical (`jnp.where` with an all-true mask is the
+    # identity; Mosaic preserves the rounding of the shared ops).
+    fast = None
+    if fast_interior:
+        lo_s = j_act * block_kv
+        hi_s = lo_s + block_kv
+        limit_min = length - (q_tokens - 1)  # smallest per-row causal limit
+        if compact:
+            # Window phase: all pos must satisfy pos >= limit_r - window for
+            # every row; the binding row is the LARGEST limit (= length).
+            full_win = jnp.logical_and(
+                hi_s <= limit_min,
+                lo_s >= jnp.maximum(length - window, sink),
+            )
+            if sink_pages:
+                # and/or composition (same Mosaic i1-select caveat as above)
+                full_sink = hi_s <= jnp.minimum(sink, limit_min)
+                fast = jnp.logical_or(
+                    jnp.logical_and(is_sink_step, full_sink),
+                    jnp.logical_and(jnp.logical_not(is_sink_step), full_win),
+                )
+            else:
+                fast = full_win
+        elif window is not None and window > 0:
+            # Uncompacted windowed walk (compact_window=False A/B mode):
+            # the predicate must mark EXACTLY the pages the compacted walk
+            # marks, so the compaction bit-identity contract holds — a page
+            # is fast iff it is a full sink page or lies wholly inside
+            # every row's window (the straddle pages stay masked in both).
+            fast = jnp.logical_and(
+                hi_s <= limit_min,
+                jnp.logical_or(
+                    hi_s <= sink,
+                    lo_s >= jnp.maximum(length - window, sink),
+                ),
+            )
+        else:
+            fast = hi_s <= limit_min
+
+    if fast is not None:
+        @pl.when(jnp.logical_and(live, fast))
+        def _compute_fast():
+            for t in range(heads_per_step):
+                _head_block(t, masked=False)
+
+        @pl.when(jnp.logical_and(live, jnp.logical_not(fast)))
+        def _compute_masked():
+            for t in range(heads_per_step):
+                _head_block(t, masked=True)
+    else:
+        @pl.when(live)
+        def _compute():
+            for t in range(heads_per_step):
+                _head_block(t)
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -367,20 +426,34 @@ def decode_attention(
     # heads per step = more DMA bytes per step, amortizing the fixed
     # per-step cost that bounds small-tile streaming (r3 A/B).
     heads_per_step: Optional[int] = None,
+    # Unmasked compute on grid steps whose whole token range is visible to
+    # every query row. Bit-identical to the masked chain on TPU Mosaic
+    # (measured maxdiff 0.0 across bits/window/sink/multi-token modes; CPU
+    # XLA shows ~1-ulp fusion drift) and measured a WASH on v5e — three
+    # interleaved min-of-rounds A/Bs at 128K (full and W8K) read 1.17x,
+    # 1.00x, 0.94x: sub-0.1 ms transport bimodality, no repeatable gain,
+    # because the DMA-paced pipeline already hides the mask chain's VPU
+    # passes (bench/fastpath_ab.py, FASTPATH_AB.json). Kept default-off as
+    # an A/B probe for hardware where per-step compute paces the stream.
+    fast_interior: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Single-token decode attention over an int8/int4 KV cache (GQA/MQA).
 
     ``block_kv`` is the KV streaming block (and the page size when paged).
     Default: the paged path takes the cache's page size; the contiguous
-    path picks ``min(4096, ceil128(s_max))`` — within-process sweep on v5e
-    (b1 hk8 d128, 128K int8 cache, r3): 2048 -> 543 GB/s, 4096 -> **662**,
-    8192 -> 636, 6144 -> 215 (non-pow2 tiling pathology). The r2 default of
-    2048 was leaving ~20% on the table: the int8 tiles' DMA per grid step
-    was too small to hide the fixed per-step cost (bf16, with 2x the bytes
-    per step, is insensitive: 739-744 across all blocks). Long-context
-    serving deployments should prefer 4096-token pages when contexts allow;
-    at 2048-token pages decode pays ~18%.
+    path consults the durable autotune cache (bench/autotune.py --space
+    decode; bundled v5e winners: 128K int8 -> bk8192/hb2, k4v8 ->
+    bk4096/hb4) and falls back to ``min(2048, ceil128(s_max))`` off-bucket,
+    shrunk to the largest block dividing ``s_max`` (a non-dividing block
+    forces a whole-cache pad copy per call). Block size matters because the
+    int8 tiles' DMA per grid step must hide the fixed per-step cost —
+    within-process sweep on v5e (b1 hk8 d128, 128K int8 cache, r3):
+    2048 -> 543 GB/s, 4096 -> 662, 8192 -> 636 (later retuned to 8192 with
+    hb2), 6144 -> 215 (non-pow2 tiling pathology); bf16, with 2x the bytes
+    per step, is insensitive (739-744 across all blocks). Long-context
+    serving deployments should prefer 4096-token pages when contexts
+    allow; at 2048-token pages decode pays ~18%.
 
     Args:
       q: ``[B, H, D]`` float — current-token queries. OR ``[B, T, H, D]``
@@ -629,6 +702,7 @@ def decode_attention(
             int_qk=int_qk, int_pv=int_pv, heads_per_step=hb,
             window=window, sink=sink, q_tokens=q_tokens, group=g,
             compact=compact, sink_pages=sink_pages,
+            fast_interior=fast_interior,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
