@@ -37,6 +37,7 @@ def _sample(seed):
         heads_per_step=r.choice([None, 1, 2]),
         compute_mode=r.choice(["auto", "f32", "int_qk"]),
         short_row=r.random() < 0.5,  # one sequence much shorter
+        fast_interior=r.random() < 0.5,  # default-off probe stays covered
     )
 
 
@@ -67,6 +68,7 @@ def test_decode_flag_combination(seed):
         sink_size=c["sink"] if c["window"] else 0,
         compute_mode=c["compute_mode"],
         heads_per_step=c["heads_per_step"],
+        fast_interior=c["fast_interior"],
     )
     if c["paged"]:
         # shuffled page layout; page size == block_kv
