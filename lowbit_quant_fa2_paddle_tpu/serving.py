@@ -19,7 +19,10 @@ in-repo and TPU-native:
 Request lifecycle: ``add_request`` queues -> scheduler admits (prompt pages
 allocated) -> int8 prefill writes the prompt's quantized KV into its pages
 and samples the first token -> the request joins the batched decode step
-until ``max_new_tokens`` -> pages/slot released.
+until ``max_new_tokens`` -> pages/slot released. With
+``ServingConfig(prefill_budget=...)`` the prefill stage is BUDGETED
+(Sarathi-Serve / SplitFuse class): one bounded chunk per tick interleaved
+with the decode step, so admissions never stall live decode slots.
 
 Distributed serving (context-sharded caches, head-sharded TP decode) lives
 in parallel/serving.py; this engine is the single-host control loop around
@@ -111,6 +114,31 @@ class ServingConfig:
     # tick is already multi-token) or window_size (rolling trim is
     # per-append).
     multi_step: int = 1
+    # Budgeted chunked-prefill scheduling (Sarathi-Serve / DeepSpeed-FastGen
+    # SplitFuse class): when set, an admitted request's prompt prefills in
+    # chunks of at most `prefill_budget` tokens, ONE chunk per engine tick,
+    # interleaved with the batched decode step — so a long-prompt admission
+    # never stalls live decode slots (the blocking engine synchronously
+    # prefills the whole prompt inside the admission tick; a 128K prompt
+    # would freeze every running request for the full prefill). Each chunk
+    # runs causal self-attention within the chunk plus cross-attention over
+    # the request's own already-written quantized pages, merged through the
+    # kernels' base-2 LSE contract — the N-chunk generalization of the
+    # prefix-cache path below, sharing its machinery and its approximation
+    # class (chunk boundaries see int8/int4-quantized prefix KV, so
+    # first-token logits drift by quantization-level amounts vs the one-shot
+    # prefill: cosine > 0.999, tests/test_serving.py). Prompts that fit in
+    # ONE chunk (<= budget, no cache hit) take the unchunked path and are
+    # BIT-identical to the blocking engine. When the decode batch is idle,
+    # chunks run back-to-back so a solo long prompt keeps blocking-prefill
+    # TTFT. Rounded up to a page multiple (chunks must end on page
+    # boundaries so the prefix gather reads whole pages). Requires
+    # admission="reserve" (a half-prefilled request is not preemptible) and
+    # a full-causal model (the chunk cross-attention is unwindowed).
+    # Composes with prefix_caching, spec_ngram, multi_step (whose
+    # empty-queue gate relaxes: admissions and chunks still proceed at
+    # every segment boundary), and async_fetch.
+    prefill_budget: Optional[int] = None
     # Asynchronous scheduling (vLLM async-scheduling analog): keep sampled
     # tokens ON DEVICE and feed them straight into the next tick's decode —
     # the per-tick value fetch exists only to read token VALUES, but
@@ -526,17 +554,15 @@ class _NgramIndex:
         return self.toks[s + self.n : s + self.n + k]
 
 
-@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
-def _scatter_prefill_pages(
+def _scatter_pages_body(
     caches: List[dict],
     per_layer: List[tuple],  # (kq [Hk,S,dk], ks [Hk,S], vq, vs) per layer
-    pids: jax.Array,  # [n_pages] int32 — the private pages, in order
-    *,
+    pids: jax.Array,  # [n_pages] int32 — destination pages, in order
     page_size: int,
 ) -> List[dict]:
-    """Scatter a prefill's quantized KV rows into their pages in ONE jitted
-    donated update per engine tick (eager per-page .at[].set copies the
-    whole cache per call — O(depth x pages) full-cache copies)."""
+    """Scatter per-token quantized KV rows (starting at a page boundary)
+    into their pages; shared by the one-shot prefill scatter and the
+    budgeted chunked-prefill step."""
     n = pids.shape[0]
     new = []
     for c, (kq, ks, vq, vs) in zip(caches, per_layer):
@@ -554,6 +580,66 @@ def _scatter_prefill_pages(
             "v_scale": c["v_scale"].at[:, pids].set(as_pages(vs)),
         })
     return new
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
+def _scatter_prefill_pages(
+    caches: List[dict],
+    per_layer: List[tuple],  # (kq [Hk,S,dk], ks [Hk,S], vq, vs) per layer
+    pids: jax.Array,  # [n_pages] int32 — the private pages, in order
+    *,
+    page_size: int,
+) -> List[dict]:
+    """Scatter a prefill's quantized KV rows into their pages in ONE jitted
+    donated update per engine tick (eager per-page .at[].set copies the
+    whole cache per call — O(depth x pages) full-cache copies)."""
+    return _scatter_pages_body(caches, per_layer, pids, page_size)
+
+
+def _budgeted_prefill_chunk(
+    params: Params,
+    caches: List[dict],
+    toks_c: jax.Array,  # [1, sc] — this chunk's prompt tokens
+    prefix_pids: jax.Array,  # [n_pre] int32 — already-written pages, in order
+    dest_pids: jax.Array,  # [ceil(sc/page)] int32 — this chunk's pages
+    *,
+    cfg: L.LLMConfig,
+    page_size: int,
+    kv_bits: Tuple[int, int],
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, List[dict]]:
+    """One budget-sized slice of an admitted prompt's prefill, as ONE jitted
+    donated device program: gather the request's already-prefilled pages as
+    prefix KV, run the chunk's causal self-attention + cross-attention over
+    that prefix (LSE-merged — serving twin of models/llm._prefill_chunk),
+    and scatter the chunk's quantized rows into its own pages. Returns the
+    chunk's last-token logits (consumed only by the final chunk) and the
+    updated caches. Recompiles per (n_pre, sc) shape pair — bucket prompt
+    lengths as real engines do (bench/serving_bench.make_workload).
+
+    Role: the Sarathi-Serve stall-free admission schedule the reference
+    delegates to its external sglang runtime
+    (reference src/triton/utils/main.py:14-15)."""
+    n_pre = prefix_pids.shape[0]
+    if n_pre:
+        s_pre = n_pre * page_size
+        prefix_kv = []
+        for c in caches:
+            hk = c["k"].shape[0]
+            prefix_kv.append((
+                c["k"][:, prefix_pids].reshape(hk, s_pre, -1),
+                c["k_scale"][:, prefix_pids].reshape(hk, s_pre),
+                c["v"][:, prefix_pids].reshape(hk, s_pre, -1),
+                c["v_scale"][:, prefix_pids].reshape(hk, s_pre),
+            ))
+        logits, per_layer = _chunked_prefill_forward(
+            params, toks_c, prefix_kv, s_pre, cfg, kv_bits, interpret
+        )
+    else:
+        logits, per_layer = _prefill_forward(
+            params, toks_c, cfg, kv_bits, interpret
+        )
+    return logits, _scatter_pages_body(caches, per_layer, dest_pids, page_size)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -636,6 +722,38 @@ class ServingEngine:
         self._paused: Dict[int, dict] = {}
         self._admit_order: List[int] = []  # running rids, oldest first
         self.preemptions = 0
+        # Budgeted chunked-prefill scheduling (stall-free admissions).
+        self._budget: Optional[int] = None
+        self._prefilling: "collections.OrderedDict[int, int]" = (
+            collections.OrderedDict()  # rid -> prompt tokens prefilled so far
+        )
+        self._prefilling_shared: Dict[int, int] = {}  # rid -> shared pages
+        self._chunk_prefill = None
+        if scfg.prefill_budget is not None:
+            if scfg.prefill_budget <= 0:
+                raise ValueError("prefill_budget must be positive")
+            if scfg.admission != "reserve":
+                raise ValueError(
+                    "prefill_budget requires admission='reserve' (a "
+                    "half-prefilled request holds pages but is not "
+                    "preemptible)")
+            if cfg.window_size is not None:
+                raise ValueError(
+                    "prefill_budget requires full-causal models (the chunk "
+                    "cross-attention over prefilled pages is unwindowed)")
+            self._budget = (
+                -(-scfg.prefill_budget // scfg.page_size) * scfg.page_size
+            )
+            self._chunk_prefill = jax.jit(
+                functools.partial(
+                    _budgeted_prefill_chunk,
+                    cfg=cfg,
+                    page_size=scfg.page_size,
+                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
+                    interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
         self._decode = jax.jit(
             functools.partial(
                 _decode_step,
@@ -827,6 +945,72 @@ class ServingEngine:
             return
         self._seat(rid, slot, tok, prompt.size, pages)
 
+    def _begin_prefill(self, rid: int) -> None:
+        """Move an admitted request into the PREFILLING state (budgeted
+        mode): its pages and slot are allocated, but its prompt runs through
+        :meth:`_prefill_chunk_tick` one budget-sized chunk per tick instead
+        of blocking this admission tick on the whole prefill. Cache-hit
+        prefix pages count as already done."""
+        self._waiting_rids.remove(rid)
+        n_shared = self._shared.pop(rid, 0)
+        self._prefilling_shared[rid] = n_shared
+        self._prefilling[rid] = n_shared * self.scfg.page_size
+
+    def _prefill_progress(self) -> None:
+        """Advance prefilling prompts: with live decode slots, exactly ONE
+        chunk dispatch per tick (oldest admission first) so decode never
+        stalls; with an idle batch, chunks run back-to-back until a request
+        seats — a solo long prompt keeps the blocking engine's TTFT."""
+        if not self._prefilling:
+            return
+        if self._active.any():
+            self._prefill_chunk_tick(next(iter(self._prefilling)))
+            return
+        while self._prefilling and not self._active.any():
+            self._prefill_chunk_tick(next(iter(self._prefilling)))
+
+    def _prefill_chunk_tick(self, rid: int) -> None:
+        """Run one chunk of ``rid``'s prefill; on the final chunk, sample
+        the first token and seat the request (mirrors :meth:`_prefill`'s
+        completion bookkeeping)."""
+        p = self.scfg.page_size
+        done = self._prefilling[rid]
+        prompt = self._prompts[rid]
+        sc = min(self._budget, prompt.size - done)
+        pages = self.sched.page_table(rid)
+        j0 = done // p  # chunks end on page boundaries, so done is aligned
+        n_dest = -(-sc // p)
+        logits, self.caches = self._chunk_prefill(
+            self.params,
+            self.caches,
+            jnp.asarray(prompt[done : done + sc])[None],
+            jnp.asarray(pages[:j0], jnp.int32),
+            jnp.asarray(pages[j0 : j0 + n_dest], jnp.int32),
+        )
+        done += sc
+        if done < prompt.size:
+            self._prefilling[rid] = done
+            return
+        del self._prefilling[rid]
+        prompt = self._prompts.pop(rid)
+        n_shared = self._prefilling_shared.pop(rid)
+        if self.prefix_cache is not None:
+            self.prefix_cache.hits += n_shared
+            self.prefix_cache.misses += max(
+                0, min(prompt.size // p, (prompt.size - 1) // p) - n_shared
+            )
+            self.prefix_cache.register(prompt, pages)
+        slot = self.sched.info(rid)["slot"]
+        tok = int(np.asarray(jnp.argmax(logits)))
+        self.outputs[rid].append(tok)
+        self._out_count[rid] = 1
+        if self._spec_decode is not None:
+            self._ngram[rid].extend([tok])
+        if self._done(rid):
+            self._retire(rid, slot)
+            return
+        self._seat(rid, slot, tok, prompt.size, pages)
+
     def _seat(self, rid: int, slot: int, next_tok: int, length: int,
               pages: Sequence[int]) -> None:
         self._slot_rid[slot] = rid
@@ -908,7 +1092,15 @@ class ServingEngine:
         if rid in self._finished:
             return self._finished[rid]
         self._drain_pending()  # async mode: materialize before returning
-        if rid in self._prompts:  # waiting, never prefilled
+        if rid in self._prefilling:  # admitted, mid-chunked-prefill
+            # The scheduler sees a RUNNING request (slot + pages allocated
+            # at admission): release, not cancel. Partially-written pages
+            # return to the pool unregistered (never cached).
+            self.sched.release(rid)
+            del self._prefilling[rid]
+            del self._prompts[rid]
+            self._prefilling_shared.pop(rid, None)
+        elif rid in self._prompts:  # waiting, never prefilled
             self.sched.cancel(rid)
             self._waiting_rids.remove(rid)
             del self._prompts[rid]
@@ -964,21 +1156,29 @@ class ServingEngine:
         for rid in admitted:
             if rid in self._paused:
                 self._resume(rid)
+            elif self._budget is not None:
+                self._begin_prefill(rid)
             else:
                 self._prefill(rid)
+        if self._budget is not None:
+            self._prefill_progress()
 
         slots = np.nonzero(self._active)[0]
         if slots.size and self.scfg.admission == "lazy":
             slots = self._relieve_page_pressure(slots)
         n_seg = 0
-        if (slots.size and self._multi is not None and not self._prompts
+        if (slots.size and self._multi is not None
+                and (not self._prompts or self._budget is not None)
                 and not self._paused):
             # Segments engage only with an EMPTY queue (the steady serving
             # regime, where they win 2.52x — SERVING_TPU.json). Running
             # them merely when admission is BLOCKED was measured a net
             # loss on prefill-heavy mixed workloads (0.91x: dispatches
             # 239 -> 73 but each segment delays the next admission check
-            # by its device time, costing occupancy). Segment length
+            # by its device time, costing occupancy). With budgeted
+            # chunked prefill the gate relaxes: a waiting prompt no longer
+            # implies a blocking prefill — admissions and one prefill
+            # chunk still run at every segment boundary. Segment length
             # ladder: the largest power of two <= min(remaining,
             # multi_step), so runs with heterogeneous or draining budgets
             # still segment; at most log2(multi_step) compiled variants.
@@ -1235,6 +1435,8 @@ class ServingEngine:
         s["finished"] = len(self._finished)
         s["preemptions"] = self.preemptions
         s["paused"] = len(self._paused)
+        if self._budget is not None:
+            s["prefilling"] = len(self._prefilling)
         if self.prefix_cache is not None:
             s["cached_pages"] = len(self.prefix_cache)
             s["prefix_hits"] = self.prefix_cache.hits

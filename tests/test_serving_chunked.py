@@ -1,0 +1,228 @@
+"""Budgeted chunked-prefill scheduling (Sarathi-Serve / SplitFuse class):
+admissions prefill one bounded chunk per tick interleaved with the batched
+decode step, so a long prompt never stalls live decode slots.
+
+Role: the stall-free admission schedule of the external sglang runtime the
+reference serves its decode experiments through (reference
+src/triton/utils/main.py:14-15); the blocking engine's measured failure
+mode is the whole-prompt synchronous prefill inside the admission tick.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowbit_quant_fa2_paddle_tpu.models import llm as L
+from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def llm_setup():
+    cfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2, max_seq=128
+    )
+    params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _pool(**kw):
+    base = dict(page_size=8, num_pages=32, max_batch=2)
+    base.update(kw)
+    return ServingConfig(**base)
+
+
+PROMPTS = [
+    ([5, 11, 3, 7, 2], 6),
+    ([9, 1, 4, 20, 8, 13, 2, 6, 31], 4),
+    ([40, 22, 17], 5),
+]
+LONG_PROMPT = [int(x) for x in np.random.RandomState(3).randint(1, 60, 40)]
+
+
+def test_short_prompts_identical_to_blocking(llm_setup):
+    """Prompts that fit in one chunk take the unchunked prefill path:
+    streams are BIT-identical to the blocking engine."""
+    cfg, params = llm_setup
+    eng_b = ServingEngine(params, cfg, _pool())
+    rids_b = [eng_b.add_request(p, n) for p, n in PROMPTS]
+    done_b = eng_b.run()
+    eng_c = ServingEngine(params, cfg, _pool(prefill_budget=16))
+    rids_c = [eng_c.add_request(p, n) for p, n in PROMPTS]
+    done_c = eng_c.run()
+    for rb, rc in zip(rids_b, rids_c):
+        assert done_b[rb] == done_c[rc], (done_b[rb], done_c[rc])
+
+
+def test_chunked_prefill_logits_match_full(llm_setup):
+    """The budgeted chunk function composed over a paged cache reproduces
+    the one-shot prefill's first-token logits to quantization accuracy
+    (cosine > 0.999 — the prefix-cache approximation class)."""
+    from lowbit_quant_fa2_paddle_tpu.serving import (
+        _budgeted_prefill_chunk,
+        _empty_paged_caches,
+        _prefill_forward,
+    )
+
+    cfg, params = llm_setup
+    scfg = _pool(prefill_budget=16)
+    prompt = np.asarray(LONG_PROMPT, np.int32)  # 40 tokens = 5 pages @ 8
+    full_logits, _ = _prefill_forward(
+        params, jnp.asarray(prompt)[None], cfg, (8, 8), None
+    )
+    caches = _empty_paged_caches(cfg, scfg)
+    pages = list(range(5))
+    logits = None
+    for done in range(0, prompt.size, 16):
+        sc = min(16, prompt.size - done)
+        j0 = done // 8
+        logits, caches = _budgeted_prefill_chunk(
+            params, caches,
+            jnp.asarray(prompt[done : done + sc])[None],
+            jnp.asarray(pages[:j0], jnp.int32),
+            jnp.asarray(pages[j0 : j0 + -(-sc // 8)], jnp.int32),
+            cfg=cfg, page_size=8, kv_bits=(8, 8), interpret=None,
+        )
+    a = np.asarray(full_logits, np.float32).ravel()
+    b = np.asarray(logits, np.float32).ravel()
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos
+
+
+def test_decode_stream_unaffected_by_concurrent_admission(llm_setup):
+    """THE stall-free-scheduling contract: a running request's token stream
+    is exactly invariant to a long prompt being admitted and chunk-prefilled
+    mid-flight (decode math masks every page outside the slot's table)."""
+    cfg, params = llm_setup
+    prompt_a, n_a = PROMPTS[0][0], 12
+
+    eng_solo = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    ra = eng_solo.add_request(prompt_a, n_a)
+    solo = eng_solo.run()[ra]
+
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    ra2 = eng.add_request(prompt_a, n_a)
+    for _ in range(3):
+        eng.step()
+    rb = eng.add_request(LONG_PROMPT, 4)  # 5 chunks at budget 8
+    done = eng.run()
+    assert done[ra2] == solo, (done[ra2], solo)
+    assert len(done[rb]) == 4
+
+
+def test_admission_does_not_stall_decode_ticks(llm_setup):
+    """While a long prompt chunk-prefills, every tick still emits decode
+    tokens for the live slot (the blocking engine's admission tick emits
+    its decode token only after the whole prefill)."""
+    cfg, params = llm_setup
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    ra = eng.add_request(PROMPTS[0][0], 16)
+    eng.step()  # admit + seat A (prefill is sub-budget: one chunk)
+    assert eng.stats()["active_slots"] == 1
+    rb = eng.add_request(LONG_PROMPT, 2)
+    n0 = len(eng.outputs[ra])
+    ticks = 0
+    while rb in eng._prompts:  # B's prompt stays queued until prefilled
+        eng.step()
+        ticks += 1
+        # every tick during B's chunked prefill advanced A's stream
+        assert len(eng.outputs[ra]) == n0 + ticks
+        assert ticks < 20
+    assert ticks >= 5  # 40-token prompt / budget 8 -> 5 chunk ticks
+
+
+def test_solo_long_prompt_chunks_back_to_back(llm_setup):
+    """With an idle decode batch, chunks run back-to-back inside one tick —
+    a lone long prompt keeps blocking-prefill TTFT."""
+    cfg, params = llm_setup
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    rid = eng.add_request(LONG_PROMPT, 4)
+    eng.step()
+    assert not eng._prefilling  # all 5 chunks ran in the admission tick
+    # first token sampled at prefill completion + one decode token (the
+    # seating tick also runs its decode step, as in the blocking engine)
+    assert len(eng.outputs[rid]) == 2
+
+
+def test_cancel_mid_prefill_releases_pages(llm_setup):
+    cfg, params = llm_setup
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    ra = eng.add_request(PROMPTS[0][0], 8)
+    eng.step()  # seat A so B's chunks are budgeted one per tick
+    free0 = eng.stats()["free_pages"]
+    rb = eng.add_request(LONG_PROMPT, 4)
+    eng.step()  # admits B, runs chunk 1 of 5
+    assert rb in eng._prefilling
+    assert eng.stats()["free_pages"] < free0
+    assert eng.cancel_request(rb) == []
+    assert rb not in eng._prefilling
+    assert eng.stats()["free_pages"] == free0
+    done = eng.run()
+    assert len(done[ra]) == 8
+
+
+def test_budget_with_prefix_cache(llm_setup):
+    """Cache-hit pages count as already-prefilled chunks; identical prompts
+    generate identical tokens whether the prefix was cached or not."""
+    cfg, params = llm_setup
+    prompt = list(range(1, 21))  # 2 full pages + 4 @ page 8
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    r0 = eng.add_request(prompt, 4)
+    eng.step()
+    assert eng.stats()["cached_pages"] == 2
+    r1 = eng.add_request(prompt, 4)
+    assert eng.sched.info(r1)["shared"] == 2
+    done = eng.run()
+    assert done[r0] == done[r1], (done[r0], done[r1])
+    assert eng.prefix_cache.hits >= 2
+
+
+def test_budget_multi_step_relaxed_gate(llm_setup):
+    """With a budget, multi-step segments engage even while prompts wait
+    (the empty-queue gate relaxes) — and the stream stays identical to the
+    single-step budgeted engine on CPU."""
+    cfg, params = llm_setup
+    reqs = PROMPTS + [([3, 3, 3, 3], 8), ([60, 2], 7)]
+    eng1 = ServingEngine(params, cfg, _pool(prefill_budget=16))
+    rids1 = [eng1.add_request(p, n) for p, n in reqs]
+    done1 = eng1.run()
+    engm = ServingEngine(params, cfg, _pool(prefill_budget=16, multi_step=4))
+    ridsm = [engm.add_request(p, n) for p, n in reqs]
+    donem = engm.run()
+    assert engm.multi_segments > 0
+    for r1, rm in zip(rids1, ridsm):
+        assert done1[r1] == donem[rm], (done1[r1], donem[rm])
+
+
+def test_budget_spec_compose(llm_setup):
+    """spec_ngram composes with the budget: repetitive requests still emit
+    the exact non-speculative stream."""
+    cfg, params = llm_setup
+    motif = [7, 3, 9, 12]
+    prompt = motif * 6
+    eng_p = ServingEngine(params, cfg, _pool(prefill_budget=8))
+    rp = eng_p.add_request(prompt, 10)
+    plain = eng_p.run()[rp]
+    eng_s = ServingEngine(
+        params, cfg, _pool(prefill_budget=8, spec_ngram=2, spec_k=3,
+                           num_pages=32)
+    )
+    rs = eng_s.add_request(prompt, 10)
+    spec = eng_s.run()[rs]
+    assert plain == spec, (plain, spec)
+
+
+def test_budget_validation(llm_setup):
+    cfg, params = llm_setup
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg, _pool(prefill_budget=0))
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg,
+                      _pool(prefill_budget=8, admission="lazy"))
+    wcfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=1, num_heads=4, num_kv_heads=2, max_seq=128,
+        window_size=16, sink_size=0,
+    )
+    wparams = L.init_llm_params(jax.random.PRNGKey(1), wcfg)
+    with pytest.raises(ValueError):
+        ServingEngine(wparams, wcfg, _pool(prefill_budget=8))
