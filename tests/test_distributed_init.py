@@ -1,11 +1,18 @@
-"""Multi-process bring-up smoke test for parallel/mesh.init_distributed.
+"""Multi-process distributed tests for parallel/mesh.init_distributed.
 
 The reference actually launches 2 ranks (torchrun, run_parallel.sh:36-44);
 everything else in this repo's distributed story runs single-process on the
-virtual 8-device CPU mesh. This test closes that seam: it spawns TWO real
-OS processes that rendezvous through jax.distributed over localhost, checks
-the global process/device view from both sides, and (when this jax build
-ships CPU cross-process collectives) runs a psum across the 2-process mesh.
+virtual 8-device CPU mesh. These tests close that seam with TWO real OS
+processes that rendezvous through jax.distributed over localhost and then
+run REAL cross-process computation on the global mesh (gloo CPU
+collectives, verified present in this jax build):
+
+  * a psum across all 4 global devices (2 processes x 2 local), result
+    asserted in both processes;
+  * one quantized ring-attention pass sequence-sharded across the
+    2-process mesh (parallel/ring.py — ppermute KV rotation + psum'd
+    smooth-K mean riding the DCN seam), each process checking its
+    addressable output shards against the locally-computed full oracle.
 """
 
 import os
@@ -13,50 +20,71 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = r"""
 import os, sys
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
+import jax.numpy as jnp
+import numpy as np
+import functools
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lowbit_quant_fa2_paddle_tpu.parallel.mesh import init_distributed
+from lowbit_quant_fa2_paddle_tpu.parallel.ring import ring_attention
+from lowbit_quant_fa2_paddle_tpu.ops.reference import attention_reference
 
 addr, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 init_distributed(coordinator_address=addr, num_processes=nproc, process_id=pid)
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.process_index() == pid
-assert len(jax.devices()) == nproc * len(jax.local_devices()), (
-    jax.devices(), jax.local_devices())
+n_loc = len(jax.local_devices())
+n_glob = len(jax.devices())
+assert n_glob == nproc * n_loc, (jax.devices(), jax.local_devices())
 
-# cross-process collective (psum over the global mesh) — optional: some CPU
-# builds lack cross-host CPU collectives; bring-up above is the hard seam.
-status = "ok-no-collectives"
-try:
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(np.array(jax.devices()).reshape(-1), ("seq",))
 
-    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
-    x = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("data")),
-        np.full((len(jax.local_devices()),), float(pid + 1), np.float32),
-    )
-    from jax.experimental.shard_map import shard_map
+# --- 1. cross-process psum over the global mesh ------------------------
+x = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("seq")),
+    np.full((n_loc,), float(pid + 1), np.float32),
+)
+total = jax.jit(jax.shard_map(
+    lambda a: jax.lax.psum(a, "seq"),
+    mesh=mesh, in_specs=P("seq"), out_specs=P(),
+))
+want = sum((i + 1) * n_loc for i in range(nproc))
+got = float(np.asarray(total(x).addressable_data(0))[0])
+assert got == want, (got, want)
+print(f"worker {pid}: psum ok", flush=True)
 
-    total = jax.jit(shard_map(
-        lambda a: jax.lax.psum(a, "data"),
-        mesh=mesh, in_specs=P("data"), out_specs=P(),
-    ))
-    # expected: sum over all global entries of (process_id + 1)
-    want = sum((i + 1) * len(jax.local_devices()) for i in range(nproc))
-    got = float(np.asarray(total(x).addressable_data(0))[0])
-    assert got == want, (got, want)
-    status = "ok-collectives"
-except Exception as e:  # pragma: no cover - build-dependent
-    status = f"ok-no-collectives ({type(e).__name__})"
-print(f"worker {pid}: {status}", flush=True)
+# --- 2. ring attention sequence-sharded across both processes ----------
+B, H, S, D = 1, 2, 256, 64
+rng = np.random.RandomState(11)  # same seed in both processes
+qf = rng.randn(B, H, S, D).astype(np.float32)
+kf = rng.randn(B, H, S, D).astype(np.float32)
+vf = rng.randn(B, H, S, D).astype(np.float32)
+spec = P(None, None, "seq", None)
+sl = slice(pid * (S // nproc), (pid + 1) * (S // nproc))
+shard = lambda a: jax.make_array_from_process_local_data(
+    NamedSharding(mesh, spec), a[:, :, sl, :]
+)
+ring = jax.jit(jax.shard_map(
+    functools.partial(ring_attention, axis_name="seq", is_causal=True),
+    mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
+))
+out = ring(shard(qf), shard(kf), shard(vf))
+ref = np.asarray(attention_reference(
+    jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf), is_causal=True
+), np.float32)
+s_dev = S // n_glob
+for di, shard_out in enumerate(out.addressable_shards):
+    g0 = shard_out.index[2].start
+    a = np.asarray(shard_out.data, np.float32).ravel()
+    b = ref[:, :, g0 : g0 + s_dev, :].ravel()
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, (pid, di, g0, cos)
+print(f"worker {pid}: ring ok", flush=True)
 """
 
 
@@ -66,7 +94,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_bringup(tmp_path):
+def test_two_process_psum_and_ring(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     addr = f"127.0.0.1:{_free_port()}"
@@ -86,7 +114,7 @@ def test_two_process_bringup(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=240)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -94,4 +122,5 @@ def test_two_process_bringup(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"worker {pid}: ok" in out, out
+        assert f"worker {pid}: psum ok" in out, out
+        assert f"worker {pid}: ring ok" in out, out
