@@ -36,6 +36,26 @@ def test_datasets():
         load_dataset("nope")
 
 
+def test_math_dataset(tmp_path):
+    """MATH loader (reference inferenceKit/dataset/mathdataset.py role):
+    bundled sample + problem/solution JSONL normalization, feeding the
+    grader's \\boxed{} rung."""
+    ds = load_dataset("math")
+    assert len(ds) == 5
+    for ex in ds:
+        ans = extract_answer(ex["answer"])
+        assert ans is not None  # every sample answers through \boxed{}
+        assert grade_numeric(ans, ans)
+    assert extract_answer(ds[0]["answer"]) == "42"
+    assert load_dataset("math", limit=2) == ds[:2]
+    # MATH dump schema (problem/solution) normalizes to question/answer
+    p = tmp_path / "math.jsonl"
+    p.write_text('{"problem": "1+1?", "solution": "\\\\boxed{2}"}\n')
+    rows = load_dataset("math", path=str(p))
+    assert rows == [{"question": "1+1?", "answer": "\\boxed{2}"}]
+    assert extract_answer(rows[0]["answer"]) == "2"
+
+
 @pytest.mark.parametrize(
     "text,expected",
     [
