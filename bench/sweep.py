@@ -148,6 +148,11 @@ def main():
     p.add_argument("--space", default="k", choices=["k", "q"],
                    help="kernel schedule: k-major (API default) or q-major")
     p.add_argument("--output", default=None)
+    p.add_argument("--merge", action="store_true",
+                   help="merge this run's rows into an existing --output "
+                        "(keyed by bits/seq/causal; new rows replace old) — "
+                        "long-seq rows land one process at a time, so the "
+                        "matrix accumulates across runs")
     args = p.parse_args()
 
     results = []
@@ -197,8 +202,20 @@ def main():
             print(json.dumps(row), flush=True)
 
     if args.output:
+        rows = results
+        if args.merge and os.path.exists(args.output):
+            with open(args.output) as f:
+                old = json.load(f)
+
+            def key(r):
+                return (r["bits"], r["seq"], r.get("causal", False))
+
+            fresh = {key(r) for r in results}
+            rows = [r for r in old if key(r) not in fresh] + results
+            rows.sort(key=lambda r: (r["seq"], r["bits"]))
         with open(args.output, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(rows, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":
