@@ -87,9 +87,13 @@ def flagship_dropin_speedup():
     return t8, t_fp, t_pub, cos
 
 
-def kernel_record_s4096():
-    """Reference bench-suite kernel metric (pre-quantized operands)."""
-    B, H, D, S = 4, 32, 64, 4096
+def kernel_record_s4096(B=4, H=32, D=64, S=4096):
+    """Reference bench-suite kernel metric (pre-quantized operands).
+    Defaults to the reference's hd64 config; also run at (4, 8, 256, 4096)
+    for the hd256 row — the head_dim where the int8 MXU edge actually
+    shows on v5e (220 TF, 1.34x own fp, SWEEP_TPU_hd256.json) vs hd64's
+    VPU-bound 1.02-1.14x (physics closure in PERFORMANCE.md; restated in
+    BASELINE.md 'Targets — OUTCOME')."""
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, H, S, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, H, S, D), jnp.bfloat16)
@@ -112,6 +116,7 @@ def kernel_record_s4096():
 def main():
     t8, t_fp, t_pub, cos = flagship_dropin_speedup()
     tf_kernel, t_kernel = kernel_record_s4096()
+    tf_256, t_256 = kernel_record_s4096(B=4, H=8, D=256, S=4096)
     dev = jax.devices()[0].device_kind
     vs_ours_fp = t_fp / t8
     pub_part = (
@@ -128,6 +133,14 @@ def main():
         f"[bench] kernel record b4 h32 d64 s4096 non-causal: "
         f"int8 {tf_kernel:.1f} TFLOP/s ({t_kernel*1e3:.2f} ms) | "
         f"ref GPU record 199.5 ({tf_kernel/REF_INT8_TFLOPS_S4096:.2f}x)",
+        file=sys.stderr,
+    )
+    print(
+        f"[bench] kernel record b4 h8 d256 s4096 non-causal: "
+        f"int8 {tf_256:.1f} TFLOP/s ({t_256*1e3:.2f} ms) — the head_dim "
+        f"where the int8 MXU edge shows on v5e (1.34x own fp; hd64 is "
+        f"VPU-bound, see BASELINE.md OUTCOME) | "
+        f"vs ref hd64 GPU record {tf_256/REF_INT8_TFLOPS_S4096:.2f}x",
         file=sys.stderr,
     )
     # Headline: the reference-parallel comparison (their headline is their
