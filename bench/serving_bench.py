@@ -390,14 +390,13 @@ def main():
         row_bu["token_agreement_vs_blocking"] = round(
             float(np.mean(agree)), 4)
         row_bu["note"] = (
-            "the speedup packs two shipped-engine differences: (a) the "
-            "stall removal (max_tick_s IS the blocking engine's admission "
-            "stall; every decode slot freezes for it) and (b) prefill "
-            "dispatch amortization — a budgeted chunk is ONE jitted device "
-            "program while the blocking engine's prefill dispatches "
-            "op-by-op, which this transport prices heavily; agreement "
-            "< 1.0 is the documented chunk-boundary quantization + "
-            "program-boundary (jit-vs-eager bf16 fusion) argmax-tie class")
+            "max_tick_s IS the blocking engine's admission stall (every "
+            "decode slot freezes for the whole one-shot prefill; both "
+            "engines' prefills are jitted device programs since r5 — at "
+            "the 128K scale the same stall is the ~80 s chunked-prefill "
+            "wall of LLM_E2E --real-prefill); agreement < 1.0 is the "
+            "documented chunk-boundary quantization + program-boundary "
+            "argmax-tie class")
         results["longprompt_chunked_budget"] = row_bu
 
     if "multistep-budget" in args.scenarios:

@@ -722,6 +722,30 @@ class ServingEngine:
         self._paused: Dict[int, dict] = {}
         self._admit_order: List[int] = []  # running rids, oldest first
         self.preemptions = 0
+        # One-shot (blocking) prefill as ONE jitted device program per
+        # prompt shape (r5): the r4 engine dispatched the admission
+        # forward op-by-op, which dispatch-priced transports charge at
+        # ~0.5-2 s per 128-768-token admission (SERVING_TPU.json
+        # longprompt_blocking, measured before this change). Bucketed
+        # prompt lengths keep the compile count bounded — exactly why
+        # real engines bucket prefill (bench/serving_bench.make_workload).
+        self._prefill_fwd = jax.jit(
+            functools.partial(
+                _prefill_forward,
+                cfg=cfg,
+                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
+                interpret=interpret,
+            )
+        )
+        self._chunked_fwd = jax.jit(
+            functools.partial(
+                _chunked_prefill_forward,
+                cfg=cfg,
+                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
+                interpret=interpret,
+            ),
+            static_argnums=(3,),  # s_pre shapes the position encoding
+        )
         # Budgeted chunked-prefill scheduling (stall-free admissions).
         self._budget: Optional[int] = None
         self._prefilling: "collections.OrderedDict[int, int]" = (
@@ -912,16 +936,14 @@ class ServingEngine:
                     c["v"][:, pids].reshape(hk, s_pre, -1),
                     c["v_scale"][:, pids].reshape(hk, s_pre),
                 ))
-            logits, per_layer = _chunked_prefill_forward(
+            logits, per_layer = self._chunked_fwd(
                 self.params, jnp.asarray(prompt[s_pre:])[None], prefix_kv,
-                s_pre, self.cfg,
-                (self.scfg.eff_k_bits, self.scfg.eff_v_bits), self.interpret,
+                s_pre,
             )
         else:
             s_pre = 0
-            logits, per_layer = _prefill_forward(
-                self.params, jnp.asarray(prompt)[None], self.cfg,
-                (self.scfg.eff_k_bits, self.scfg.eff_v_bits), self.interpret,
+            logits, per_layer = self._prefill_fwd(
+                self.params, jnp.asarray(prompt)[None]
             )
         # per_layer rows start at position s_pre == n_shared pages; one
         # jitted donated scatter writes every private page of every layer
