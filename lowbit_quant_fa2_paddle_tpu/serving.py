@@ -582,20 +582,6 @@ def _scatter_pages_body(
     return new
 
 
-@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnums=(0,))
-def _scatter_prefill_pages(
-    caches: List[dict],
-    per_layer: List[tuple],  # (kq [Hk,S,dk], ks [Hk,S], vq, vs) per layer
-    pids: jax.Array,  # [n_pages] int32 — the private pages, in order
-    *,
-    page_size: int,
-) -> List[dict]:
-    """Scatter a prefill's quantized KV rows into their pages in ONE jitted
-    donated update per engine tick (eager per-page .at[].set copies the
-    whole cache per call — O(depth x pages) full-cache copies)."""
-    return _scatter_pages_body(caches, per_layer, pids, page_size)
-
-
 def _budgeted_prefill_chunk(
     params: Params,
     caches: List[dict],
@@ -722,29 +708,28 @@ class ServingEngine:
         self._paused: Dict[int, dict] = {}
         self._admit_order: List[int] = []  # running rids, oldest first
         self.preemptions = 0
-        # One-shot (blocking) prefill as ONE jitted device program per
-        # prompt shape (r5): the r4 engine dispatched the admission
-        # forward op-by-op, which dispatch-priced transports charge at
-        # ~0.5-2 s per 128-768-token admission (SERVING_TPU.json
-        # longprompt_blocking, measured before this change). Bucketed
-        # prompt lengths keep the compile count bounded — exactly why
+        # EVERY prefill — blocking one-shot, prefix-cache hit, and
+        # budgeted chunk — runs through ONE jitted donated device program
+        # per shape (_budgeted_prefill_chunk: gather the already-written
+        # prefix pages, forward the suffix with LSE merge, scatter the new
+        # quantized rows into their pages). The r4 engine dispatched the
+        # admission forward op-by-op, which dispatch-priced transports
+        # charge at ~0.5-2 s per admission, and an intermediate r5 version
+        # still gathered prefix pages eagerly (~0.2-0.4 s per cache hit —
+        # measured as a prefix-cache LOSS on the fast transport). The
+        # blocking path is simply one unbounded chunk, so blocking and
+        # budgeted prefills cannot drift numerically. Bucketed prompt
+        # lengths keep the per-shape compile count bounded — exactly why
         # real engines bucket prefill (bench/serving_bench.make_workload).
-        self._prefill_fwd = jax.jit(
+        self._chunk_prefill = jax.jit(
             functools.partial(
-                _prefill_forward,
+                _budgeted_prefill_chunk,
                 cfg=cfg,
-                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                interpret=interpret,
-            )
-        )
-        self._chunked_fwd = jax.jit(
-            functools.partial(
-                _chunked_prefill_forward,
-                cfg=cfg,
+                page_size=scfg.page_size,
                 kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
                 interpret=interpret,
             ),
-            static_argnums=(3,),  # s_pre shapes the position encoding
+            donate_argnums=(1,),
         )
         # Budgeted chunked-prefill scheduling (stall-free admissions).
         self._budget: Optional[int] = None
@@ -752,7 +737,6 @@ class ServingEngine:
             collections.OrderedDict()  # rid -> prompt tokens prefilled so far
         )
         self._prefilling_shared: Dict[int, int] = {}  # rid -> shared pages
-        self._chunk_prefill = None
         if scfg.prefill_budget is not None:
             if scfg.prefill_budget <= 0:
                 raise ValueError("prefill_budget must be positive")
@@ -767,16 +751,6 @@ class ServingEngine:
                     "cross-attention over prefilled pages is unwindowed)")
             self._budget = (
                 -(-scfg.prefill_budget // scfg.page_size) * scfg.page_size
-            )
-            self._chunk_prefill = jax.jit(
-                functools.partial(
-                    _budgeted_prefill_chunk,
-                    cfg=cfg,
-                    page_size=scfg.page_size,
-                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                    interpret=interpret,
-                ),
-                donate_argnums=(1,),
             )
         self._decode = jax.jit(
             functools.partial(
@@ -914,6 +888,12 @@ class ServingEngine:
     # -- lifecycle ---------------------------------------------------------
 
     def _prefill(self, rid: int) -> None:
+        """Blocking one-shot prefill = ONE unbounded chunk through the same
+        jitted gather+forward+scatter program the budgeted path uses (a
+        cache hit's shared pages are the chunk's prefix pages), so the
+        blocking and budgeted paths cannot drift numerically and a cache
+        hit costs one device dispatch (the earlier eager prefix-page
+        gather was measured a 0.2-0.4 s/admission loss on the relay)."""
         prompt = self._prompts.pop(rid)
         self._waiting_rids.remove(rid)
         pages = self.sched.page_table(rid)
@@ -924,32 +904,13 @@ class ServingEngine:
             self.prefix_cache.misses += max(
                 0, min(len(prompt) // p, (len(prompt) - 1) // p) - n_shared
             )
-        if n_shared:
-            s_pre = n_shared * p
-            prefix_kv = []
-            pids = jnp.asarray(pages[:n_shared], jnp.int32)
-            for c in self.caches:
-                hk = c["k"].shape[0]
-                prefix_kv.append((
-                    c["k"][:, pids].reshape(hk, s_pre, -1),
-                    c["k_scale"][:, pids].reshape(hk, s_pre),
-                    c["v"][:, pids].reshape(hk, s_pre, -1),
-                    c["v_scale"][:, pids].reshape(hk, s_pre),
-                ))
-            logits, per_layer = self._chunked_fwd(
-                self.params, jnp.asarray(prompt[s_pre:])[None], prefix_kv,
-                s_pre,
-            )
-        else:
-            s_pre = 0
-            logits, per_layer = self._prefill_fwd(
-                self.params, jnp.asarray(prompt)[None]
-            )
-        # per_layer rows start at position s_pre == n_shared pages; one
-        # jitted donated scatter writes every private page of every layer
-        self.caches = _scatter_prefill_pages(
-            self.caches, per_layer,
-            jnp.asarray(pages[n_shared:], jnp.int32), page_size=p,
+        s_pre = n_shared * p
+        logits, self.caches = self._chunk_prefill(
+            self.params,
+            self.caches,
+            jnp.asarray(prompt[s_pre:])[None],
+            jnp.asarray(pages[:n_shared], jnp.int32),
+            jnp.asarray(pages[n_shared:], jnp.int32),
         )
         if self.prefix_cache is not None:
             self.prefix_cache.register(prompt, pages)
