@@ -103,7 +103,8 @@ class ServingConfig:
     # steps as ONE on-device lax.scan dispatch (greedy argmax feeds back
     # on device), amortizing the per-tick host round trip that otherwise
     # bounds serving throughput on dispatch-latency-heavy transports
-    # (measured 2.52x steady-state tokens/s, SERVING_TPU.json). The segment
+    # (measured 4.69x steady-state tokens/s on the r5 unified engine,
+    # SERVING_TPU.json). The segment
     # runs the SAME step body — bit-identical to single ticks on CPU
     # (tests/test_serving_flow.py) — but as a separately-compiled XLA
     # program, so bf16 reductions may fuse in a different order and
@@ -148,11 +149,15 @@ class ServingConfig:
     # every tick, so unlike multi_step there is no occupancy tradeoff in
     # mixed workloads. Requires admission="reserve"; excludes spec_ngram,
     # multi_step, and per-request eos_token (each needs token values per
-    # tick). Measured on the axon relay: 0.95x (SERVING_TPU.json
-    # mixed_async_fetch — that transport's tick cost is the DISPATCH round
-    # trip, which both modes pay, and async adds per-tick uploads of the
-    # copied scheduler arrays); token-identical to sync. Default off; for
-    # transports where the value fetch dominates the tick.
+    # tick). Measured on the axon relay (r5 unified engine): **3.46x**
+    # mixed tokens/s (SERVING_TPU.json mixed_async_fetch — the per-tick
+    # value fetch was ~20 of the 28 ms tick; an earlier r4 measurement on
+    # a dispatch-dominated transport read 0.95x, so the win is
+    # transport-dependent). Tokens are bit-identical to sync where the
+    # XLA programs match (CPU tests); on hardware the in-program argmax
+    # is a different program than sync's host argmax, so near-argmax
+    # ties can flip (agreement 0.966 on a random-weight model; task
+    # accuracy unchanged on the trained ladder). Default off.
     async_fetch: bool = False
 
     @property
