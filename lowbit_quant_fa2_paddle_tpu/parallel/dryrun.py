@@ -163,6 +163,19 @@ def _serving_engine_dryrun() -> None:
     done = eng.run()
     assert len(done) == 2 and all(len(t) > 0 for t in done.values())
 
+    # Budgeted chunked-prefill admission (r5): a >budget prompt chunks
+    # through the gather+forward+scatter program while a slot decodes.
+    engb = serving.ServingEngine(
+        params, cfg,
+        serving.ServingConfig(page_size=8, num_pages=32, max_batch=2,
+                              prefill_budget=8),
+    )
+    engb.add_request([1, 2, 3], 4)
+    engb.step()  # seat the short request
+    engb.add_request(list(range(1, 29)), 3)  # 28 tokens -> 4 chunks
+    done = engb.run()
+    assert len(done) == 2 and all(len(t) > 0 for t in done.values())
+
 
 def _pipeline_dryrun(pp: int) -> None:
     """One pipelined (pp-axis) DiT forward on tiny shapes."""
