@@ -46,8 +46,17 @@ def main():
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--multi-step", type=int, default=1,
                     help="scan this many decode steps per dispatch when "
-                         "admission is quiescent (2.5x steady tokens/s on "
+                         "admission is quiescent (4.7x steady tokens/s on "
                          "the relay transport; SERVING_TPU.json)")
+    ap.add_argument("--prefill-budget", type=int, default=0,
+                    help="budgeted chunked-prefill scheduling (Sarathi/"
+                         "SplitFuse class): admissions prefill at most this "
+                         "many tokens per tick interleaved with decode, so "
+                         "a long prompt never stalls live slots (0 = "
+                         "blocking one-shot prefill)")
+    ap.add_argument("--async-fetch", action="store_true",
+                    help="device-resident token feedback; values fetch only "
+                         "at retirements (3.5x mixed tokens/s on the relay)")
     args = ap.parse_args()
 
     cfg = L.tiny_llm_config(
@@ -72,6 +81,8 @@ def main():
             spec_ngram=args.spec_ngram,
             spec_k=args.spec_k,
             multi_step=args.multi_step,
+            prefill_budget=args.prefill_budget or None,
+            async_fetch=args.async_fetch,
         ),
     )
 
