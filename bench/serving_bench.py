@@ -62,6 +62,20 @@ def make_workload(n, seed=0, shared_frac=0.5, shared_len=192, vocab=256):
     return reqs
 
 
+
+def token_agreement(outs_a, outs_b):
+    """Mean per-request token agreement between two engines' outputs,
+    aligned by SUBMISSION ORDER (sorted rid) — rids differ across engines
+    whenever their warm-request counts differ."""
+    l1 = [outs_a[r] for r in sorted(outs_a)]
+    l2 = [outs_b[r] for r in sorted(outs_b)]
+    agree = [
+        sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
+        for x, y in zip(l1, l2)
+    ]
+    return round(float(np.mean(agree)), 4)
+
+
 def drive(params, cfg, scfg, reqs, *, static=False, interpret=None,
           warm_reqs=(), auto_warm=True):
     """Run the workload; returns (row, outputs). static=True emulates
@@ -90,6 +104,7 @@ def drive(params, cfg, scfg, reqs, *, static=False, interpret=None,
     for prompt, n_out in warm_reqs:
         warm_rids.add(eng.add_request(prompt, n_out))
         eng.run()
+    st0 = eng.stats()  # counter snapshot: report workload-only deltas
     print("[serving] warmup done; running workload", file=sys.stderr, flush=True)
     ticks = 0
     occupancy = 0
@@ -130,10 +145,11 @@ def drive(params, cfg, scfg, reqs, *, static=False, interpret=None,
         "mean_active_slots": round(occupancy / max(ticks, 1), 2),
         "preemptions": st["preemptions"],
     }
-    for k in ("prefix_hits", "prefix_misses", "spec_rounds",
-              "spec_tokens_per_round"):
-        if k in st:
-            row[k] = st[k]
+    for k in ("prefix_hits", "prefix_misses", "spec_rounds"):
+        if k in st:  # workload-only (warmup traffic subtracted)
+            row[k] = st[k] - st0.get(k, 0)
+    if "spec_tokens_per_round" in st:
+        row["spec_tokens_per_round"] = st["spec_tokens_per_round"]
     mem = device_memory_stats()
     if mem:
         row["device_memory"] = mem
@@ -327,14 +343,7 @@ def main():
         # on this random-weight model can flip. Report the agreement rate.
         # align by submission order (rids differ: the segment engine ran
         # extra warm requests)
-        l1 = [outs_1[r] for r in sorted(outs_1)]
-        l2 = [outs_m[r] for r in sorted(outs_m)]
-        agree = [
-            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
-            for x, y in zip(l1, l2)
-        ]
-        row_m["token_agreement_vs_single_step"] = round(
-            float(np.mean(agree)), 4)
+        row_m["token_agreement_vs_single_step"] = token_agreement(outs_1, outs_m)
         results["steady_multi_step8"] = row_m
 
     if "multistep-mixed" in args.scenarios:
@@ -366,14 +375,7 @@ def main():
             row_c1["wall_s"] / row_cm["wall_s"], 3)
         # align by submission order (rids differ across engines when the
         # warm request counts differ)
-        l1 = [outs_cm1[r] for r in sorted(outs_cm1)]
-        l2 = [outs_cm[r] for r in sorted(outs_cm)]
-        agree = [
-            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
-            for x, y in zip(l1, l2)
-        ]
-        row_cm["token_agreement_vs_single_step"] = round(
-            float(np.mean(agree)), 4)
+        row_cm["token_agreement_vs_single_step"] = token_agreement(outs_cm1, outs_cm)
         results["mixed_multi_step8"] = row_cm
 
     if "chunked" in args.scenarios:
@@ -406,14 +408,7 @@ def main():
             row_bk["wall_s"] / row_bu["wall_s"], 3)
         row_bu["stall_reduction_max_tick"] = round(
             row_bk["max_tick_s"] / max(row_bu["max_tick_s"], 1e-9), 2)
-        l1 = [outs_bk[r] for r in sorted(outs_bk)]
-        l2 = [outs_bu[r] for r in sorted(outs_bu)]
-        agree = [
-            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
-            for x, y in zip(l1, l2)
-        ]
-        row_bu["token_agreement_vs_blocking"] = round(
-            float(np.mean(agree)), 4)
+        row_bu["token_agreement_vs_blocking"] = token_agreement(outs_bk, outs_bu)
         row_bu["note"] = (
             "max_tick_s IS the blocking engine's admission stall (every "
             "decode slot freezes for the whole one-shot prefill; both "
@@ -447,14 +442,7 @@ def main():
             reqs, interpret=interpret, warm_reqs=bucket_warm + seg_warm)
         row_mb["speedup_vs_single_step"] = round(
             row_m1["wall_s"] / row_mb["wall_s"], 3)
-        l1 = [outs_m1[r] for r in sorted(outs_m1)]
-        l2 = [outs_mb[r] for r in sorted(outs_mb)]
-        agree = [
-            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
-            for x, y in zip(l1, l2)
-        ]
-        row_mb["token_agreement_vs_single_step"] = round(
-            float(np.mean(agree)), 4)
+        row_mb["token_agreement_vs_single_step"] = token_agreement(outs_m1, outs_mb)
         results["mixed_multistep8_budget"] = row_mb
 
     if "overhead" in args.scenarios:
@@ -526,14 +514,9 @@ def main():
             reqs, interpret=interpret, warm_reqs=bucket_warm)
         row_a["speedup_vs_sync_fetch"] = round(
             row_s1["wall_s"] / row_a["wall_s"], 3)
-        l1 = [outs_s1[r] for r in sorted(outs_s1)]
-        l2 = [outs_a[r] for r in sorted(outs_a)]
-        row_a["tokens_identical_to_sync"] = bool(l1 == l2)
-        agree = [
-            sum(a == b for a, b in zip(x, y)) / max(len(x), 1)
-            for x, y in zip(l1, l2)
-        ]
-        row_a["token_agreement_vs_sync"] = round(float(np.mean(agree)), 4)
+        row_a["token_agreement_vs_sync"] = token_agreement(outs_s1, outs_a)
+        row_a["tokens_identical_to_sync"] = (
+            row_a["token_agreement_vs_sync"] == 1.0)
         # async samples argmax IN-PROGRAM (_decode_sample_step) while sync
         # argmaxes on host — two XLA programs, so bf16 fusion order can
         # flip near-argmax ties on a random-weight model (CPU tests assert

@@ -188,6 +188,7 @@ def main():
                 "bits": bits,
                 "seq": s,
                 "causal": args.causal,
+                "bhd": [args.batch_size, args.num_heads, args.head_dim],
                 # fp routes by head_dim since r4 — label with the actual
                 # schedule, from the single source of truth
                 "space": args.space if bits != "fp" else resolve_fp_schedule(
@@ -206,6 +207,17 @@ def main():
         if args.merge and os.path.exists(args.output):
             with open(args.output) as f:
                 old = json.load(f)
+            shape = [args.batch_size, args.num_heads, args.head_dim]
+            for r in old:
+                # Guard against merging a different-geometry run into this
+                # artifact (e.g. a hd128 sweep pointed at the hd256 file —
+                # the head_dim lives only in the filename, and a silent
+                # replace would corrupt the matrix the plots/README read).
+                # Pre-r5 rows lack the field; they are trusted as-is.
+                if "bhd" in r and r["bhd"] != shape:
+                    raise SystemExit(
+                        f"--merge refused: {args.output} holds rows at "
+                        f"b/h/d={r['bhd']} but this run is {shape}")
 
             def key(r):
                 return (r["bits"], r["seq"], r.get("causal", False))

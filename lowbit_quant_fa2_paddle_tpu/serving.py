@@ -902,14 +902,8 @@ class ServingEngine:
         prompt = self._prompts.pop(rid)
         self._waiting_rids.remove(rid)
         pages = self.sched.page_table(rid)
-        p = self.scfg.page_size
         n_shared = self._shared.pop(rid, 0)
-        if self.prefix_cache is not None:
-            self.prefix_cache.hits += n_shared
-            self.prefix_cache.misses += max(
-                0, min(len(prompt) // p, (len(prompt) - 1) // p) - n_shared
-            )
-        s_pre = n_shared * p
+        s_pre = n_shared * self.scfg.page_size
         logits, self.caches = self._chunk_prefill(
             self.params,
             self.caches,
@@ -917,7 +911,19 @@ class ServingEngine:
             jnp.asarray(pages[:n_shared], jnp.int32),
             jnp.asarray(pages[n_shared:], jnp.int32),
         )
+        self._finish_prefill(rid, logits, prompt, pages, n_shared)
+
+    def _finish_prefill(self, rid, logits, prompt, pages, n_shared) -> None:
+        """Prefill-completion bookkeeping shared by the blocking and
+        budgeted paths (ONE copy, so the two cannot drift): hit/miss
+        accounting, prefix-page registration, first-token sampling, n-gram
+        history, retire-or-seat."""
+        p = self.scfg.page_size
         if self.prefix_cache is not None:
+            self.prefix_cache.hits += n_shared
+            self.prefix_cache.misses += max(
+                0, min(prompt.size // p, (prompt.size - 1) // p) - n_shared
+            )
             self.prefix_cache.register(prompt, pages)
         slot = self.sched.info(rid)["slot"]
         tok = int(np.asarray(jnp.argmax(logits)))
@@ -982,22 +988,7 @@ class ServingEngine:
         del self._prefilling[rid]
         prompt = self._prompts.pop(rid)
         n_shared = self._prefilling_shared.pop(rid)
-        if self.prefix_cache is not None:
-            self.prefix_cache.hits += n_shared
-            self.prefix_cache.misses += max(
-                0, min(prompt.size // p, (prompt.size - 1) // p) - n_shared
-            )
-            self.prefix_cache.register(prompt, pages)
-        slot = self.sched.info(rid)["slot"]
-        tok = int(np.asarray(jnp.argmax(logits)))
-        self.outputs[rid].append(tok)
-        self._out_count[rid] = 1
-        if self._spec_decode is not None:
-            self._ngram[rid].extend([tok])
-        if self._done(rid):
-            self._retire(rid, slot)
-            return
-        self._seat(rid, slot, tok, prompt.size, pages)
+        self._finish_prefill(rid, logits, prompt, pages, n_shared)
 
     def _seat(self, rid: int, slot: int, next_tok: int, length: int,
               pages: Sequence[int]) -> None:

@@ -31,7 +31,7 @@ def test_eval_prompts_end_in_question():
     assert prompts.shape == (6, 2 * T.FACT_LEN + T.Q_LEN)
     for p, a in zip(prompts, answers):
         s = T.decode_ids(p)
-        assert s.endswith("=") and s[-6] == ";" or s[-7] == ";"
+        assert s.endswith("=") and s[-T.Q_LEN - 1] == ";"
         q = s[-T.Q_LEN:]
         assert int(q[0:2]) + int(q[3:5]) == int(a)
     # held-out questions must be graded by exact digit match
