@@ -218,7 +218,8 @@ def main():
                              "chunked", "multistep-budget", "overhead"],
                     choices=["batching", "prefix", "spec", "window",
                              "multistep", "multistep-mixed", "async",
-                             "chunked", "multistep-budget", "overhead"],
+                             "chunked", "chunked-scale", "multistep-budget",
+                             "overhead"],
                     help="scenario groups; comparisons within a group run "
                          "in ONE process (batching = static + continuous + "
                          "prefix cache)")
@@ -418,6 +419,41 @@ def main():
             "documented chunk-boundary quantization + program-boundary "
             "argmax-tie class")
         results["longprompt_chunked_budget"] = row_bu
+
+    if "chunked-scale" in args.scenarios:
+        # 8b: the stall at PRODUCTION scale — a 64K-token admission against
+        # a live decode slot on the LLM_E2E-class model (dim 4096 depth 3,
+        # GQA 32/8, hd128), where one-shot prefill is device-bound SECONDS
+        # (not the toy model's ~0.1 s): max_tick_s is the real slot freeze
+        # the budget removes. budget=16384 -> 4 chunks.
+        cfg_s = llm.LLMConfig(
+            vocab=256, dim=4096, depth=3, num_heads=32, num_kv_heads=8,
+            max_seq=66560, dtype=jnp.bfloat16, kv_bits=8,
+        )
+        params_s = llm.init_llm_params(jax.random.PRNGKey(1), cfg_s)
+        rngs = np.random.RandomState(61)
+        shorts_s = [(rngs.randint(0, 256, size=128).tolist(), 48)]
+        longs_s = [(rngs.randint(0, 256, size=65536).tolist(), 4)]
+        pool_s = dict(page_size=64, num_pages=1100, max_batch=2,
+                      kv_bits=8, max_pages_per_seq=1050)
+        warm_s = [(shorts_s[0][0], 2), (longs_s[0][0], 2)]
+        row_sb, outs_sb = drive_staggered(
+            params_s, cfg_s,
+            serving.ServingConfig(prefix_caching=False, **pool_s),
+            shorts_s, longs_s, interpret=interpret, warm_reqs=warm_s)
+        results["scale64k_blocking"] = row_sb
+        row_su, outs_su = drive_staggered(
+            params_s, cfg_s,
+            serving.ServingConfig(prefix_caching=False,
+                                  prefill_budget=16384, **pool_s),
+            shorts_s, longs_s, interpret=interpret, warm_reqs=warm_s)
+        row_su["speedup_vs_blocking"] = round(
+            row_sb["wall_s"] / row_su["wall_s"], 3)
+        row_su["stall_reduction_max_tick"] = round(
+            row_sb["max_tick_s"] / max(row_su["max_tick_s"], 1e-9), 2)
+        row_su["token_agreement_vs_blocking"] = token_agreement(
+            outs_sb, outs_su)
+        results["scale64k_chunked_budget"] = row_su
 
     if "multistep-budget" in args.scenarios:
         # 9: multi-step + budgeted chunked prefill on the MIXED workload —
