@@ -275,16 +275,32 @@ def _chunked_prefill_forward(
     cfg: L.LLMConfig,
     kv_bits: Tuple[int, int],  # (k_bits, v_bits) of the paged caches
     interpret: Optional[bool],
+    prefix_valid: Optional[jax.Array] = None,  # traced count of REAL rows
 ) -> Tuple[jax.Array, List[tuple]]:
     """Prefill that REUSES cached quantized prefix KV: the suffix's causal
     self-attention and its cross-attention over the prefix pages are computed
     separately and merged through their base-2 LSEs — so a shared prompt
     prefix costs zero recompute (reference has no analog; its prefill always
-    starts from scratch)."""
+    starts from scratch).
+
+    ``prefix_valid``: when the prefix arrays are PADDED to a bucketed shape
+    (budgeted chunked prefill bounds its compile count by padding the
+    prefix-page gather to powers of two), this traced scalar gives the true
+    prefix length — pad rows are excluded exactly via the kernel's
+    segment-id mask and positions use the true length."""
     b, s = suffix.shape
     h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params["embed"][suffix]
-    pos = jnp.broadcast_to(s_pre + jnp.arange(s), (b, s))
+    pos0 = s_pre if prefix_valid is None else prefix_valid
+    pos = jnp.broadcast_to(pos0 + jnp.arange(s), (b, s))
+    seg_kw = {}
+    if prefix_valid is not None:
+        seg_kw = dict(
+            q_segment_ids=jnp.zeros((1, s), jnp.int32),
+            kv_segment_ids=(
+                jnp.arange(s_pre)[None] >= prefix_valid
+            ).astype(jnp.int32),
+        )
     per_layer = []
     for blk, (kc_pre, ks_pre, vc_pre, vs_pre) in zip(params["blocks"], prefix_kv):
         xa = L._rms_norm(x, blk["ln1"])
@@ -303,12 +319,13 @@ def _chunked_prefill_forward(
             o1, l1 = lowbit_attention(
                 q, k_pre[None], v_pre[None], fused_quant=True,
                 is_causal=False, return_lse=True, interpret=interpret,
+                **seg_kw,
             )
         else:
             o1, l1 = lowbit_attention(
                 q, kc_pre[None], v_pre[None], k_scale=ks_pre[None],
                 fused_quant_q=True, is_causal=False, return_lse=True,
-                interpret=interpret,
+                interpret=interpret, **seg_kw,
             )
         o2, l2 = lowbit_attention(
             q, k, v.astype(jnp.bfloat16), fused_quant=True,
@@ -593,6 +610,7 @@ def _budgeted_prefill_chunk(
     toks_c: jax.Array,  # [1, sc] — this chunk's prompt tokens
     prefix_pids: jax.Array,  # [n_pre] int32 — already-written pages, in order
     dest_pids: jax.Array,  # [ceil(sc/page)] int32 — this chunk's pages
+    prefix_valid: Optional[jax.Array] = None,  # true prefix rows (bucketed)
     *,
     cfg: L.LLMConfig,
     page_size: int,
@@ -605,8 +623,11 @@ def _budgeted_prefill_chunk(
     that prefix (LSE-merged — serving twin of models/llm._prefill_chunk),
     and scatter the chunk's quantized rows into its own pages. Returns the
     chunk's last-token logits (consumed only by the final chunk) and the
-    updated caches. Recompiles per (n_pre, sc) shape pair — bucket prompt
-    lengths as real engines do (bench/serving_bench.make_workload).
+    updated caches. Compiles per (n_pre, sc) shape pair; the engine's
+    budgeted path pads the prefix gather to power-of-two page counts with
+    ``prefix_valid`` masking the pad rows exactly (segment ids), so a long
+    prompt compiles O(log pages) variants, not one per chunk — and bucket
+    PROMPT lengths as real engines do (bench/serving_bench.make_workload).
 
     Role: the Sarathi-Serve stall-free admission schedule the reference
     delegates to its external sglang runtime
@@ -624,7 +645,8 @@ def _budgeted_prefill_chunk(
                 c["v_scale"][:, prefix_pids].reshape(hk, s_pre),
             ))
         logits, per_layer = _chunked_prefill_forward(
-            params, toks_c, prefix_kv, s_pre, cfg, kv_bits, interpret
+            params, toks_c, prefix_kv, s_pre, cfg, kv_bits, interpret,
+            prefix_valid=prefix_valid,
         )
     else:
         logits, per_layer = _prefill_forward(
@@ -974,12 +996,21 @@ class ServingEngine:
         pages = self.sched.page_table(rid)
         j0 = done // p  # chunks end on page boundaries, so done is aligned
         n_dest = -(-sc // p)
+        # Bucket the prefix gather to the next power of two (pad pids with
+        # an arbitrary allocated page; pad rows are excluded exactly by the
+        # kernel's segment mask and positions use the true `done`): the
+        # chunk program compiles per (bucket, sc) pair — O(log pages)
+        # variants for a long prompt instead of one per chunk (a 128K
+        # prompt at a 4K budget would otherwise compile 32 programs).
+        nb = j0 if j0 == 0 else 1 << (j0 - 1).bit_length()
+        prefix_pids = pages[:j0] + [pages[0]] * (nb - j0)
         logits, self.caches = self._chunk_prefill(
             self.params,
             self.caches,
             jnp.asarray(prompt[done : done + sc])[None],
-            jnp.asarray(pages[:j0], jnp.int32),
+            jnp.asarray(prefix_pids, jnp.int32),
             jnp.asarray(pages[j0 : j0 + n_dest], jnp.int32),
+            jnp.asarray(done, jnp.int32) if j0 else None,
         )
         done += sc
         if done < prompt.size:

@@ -226,3 +226,59 @@ def test_budget_validation(llm_setup):
     wparams = L.init_llm_params(jax.random.PRNGKey(1), wcfg)
     with pytest.raises(ValueError):
         ServingEngine(wparams, wcfg, _pool(prefill_budget=8))
+
+
+def test_prefix_bucketing_exact_and_bounded_compiles(llm_setup):
+    """The bucketed chunk program (prefix pids padded to pow2, pad rows
+    excluded via the kernel segment mask, positions from the true length)
+    returns the exact-gather values, and the engine compiles O(log pages)
+    chunk variants for a long prompt instead of one per chunk."""
+    from lowbit_quant_fa2_paddle_tpu.serving import (
+        _budgeted_prefill_chunk,
+        _empty_paged_caches,
+    )
+
+    cfg, params = llm_setup
+    scfg = _pool(prefill_budget=8)
+    prompt = np.asarray(LONG_PROMPT, np.int32)  # 40 tokens = 5 pages @ 8
+    kw = dict(cfg=cfg, page_size=8, kv_bits=(8, 8), interpret=None)
+    pages = list(range(5))
+
+    def chunks_upto(done_end, bucketed_final):
+        caches = _empty_paged_caches(cfg, scfg)
+        logits = None
+        for done in range(0, done_end, 8):
+            j0 = done // 8
+            if bucketed_final and done == done_end - 8 and j0:
+                nb = 1 << (j0 - 1).bit_length()
+                pids = jnp.asarray(pages[:j0] + [0] * (nb - j0), jnp.int32)
+                pv = jnp.asarray(done, jnp.int32)
+            else:
+                pids = jnp.asarray(pages[:j0], jnp.int32)
+                pv = None
+            logits, caches = _budgeted_prefill_chunk(
+                params, caches, jnp.asarray(prompt[done : done + 8])[None],
+                pids, jnp.asarray(pages[j0 : j0 + 1], jnp.int32), pv, **kw)
+        return logits, caches
+
+    # final chunk at done=24: j0 = 3 pads to bucket 4
+    l_exact, c_exact = chunks_upto(32, False)
+    l_buck, c_buck = chunks_upto(32, True)
+    np.testing.assert_allclose(
+        np.asarray(l_buck, np.float32), np.asarray(l_exact, np.float32),
+        atol=2e-5, rtol=2e-5)
+    for ce, cb in zip(c_exact, c_buck):
+        np.testing.assert_allclose(
+            np.asarray(ce["k"]), np.asarray(cb["k"]), atol=1)
+
+    # engine-level compile bound: 72-token prompt at budget 8 walks
+    # j0 = 0..8 -> buckets {0,1,2,4,8}: <= 5-6 traced variants (unbucketed
+    # would be 9)
+    eng = ServingEngine(params, cfg, _pool(prefill_budget=8, num_pages=32,
+                                           max_pages_per_seq=16))
+    rid = eng.add_request([int(x) for x in
+                           np.random.RandomState(5).randint(1, 60, 72)], 4)
+    done = eng.run()
+    assert len(done[rid]) == 4
+    n_traced = eng._chunk_prefill._cache_size()
+    assert n_traced <= 6, n_traced
