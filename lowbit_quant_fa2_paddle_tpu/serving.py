@@ -134,8 +134,10 @@ class ServingConfig:
     # chunks run back-to-back so a solo long prompt keeps blocking-prefill
     # TTFT. Rounded up to a page multiple (chunks must end on page
     # boundaries so the prefix gather reads whole pages). Requires
-    # admission="reserve" (a half-prefilled request is not preemptible) and
-    # a full-causal model (the chunk cross-attention is unwindowed).
+    # admission="reserve" (a half-prefilled request is not preemptible).
+    # Sliding-window models chunk too (r5): the prefix cross-attention
+    # runs causal-banded at the suffix's global offset with global sinks,
+    # and the banded grid skips below-window prefix blocks statically.
     # Composes with prefix_caching, spec_ngram, multi_step (whose
     # empty-queue gate relaxes: admissions and chunks still proceed at
     # every segment boundary), and async_fetch.
@@ -314,22 +316,45 @@ def _chunked_prefill_forward(
         # wants per-channel scales; per-token V scales fold here instead).
         kb, vb = kv_bits
         v_pre = L._dequant_cache_rows(vc_pre, vs_pre, vb, jnp.bfloat16)
+        # Sliding-window models (budget + window, r5): the cross-attention
+        # over the prefix runs CAUSAL-BANDED with the suffix's global
+        # offset — every prefix key precedes every suffix q, so the causal
+        # arm is vacuous and the band (q - W, q] plus the global sink
+        # anchors [0, sink) are exactly the windowed semantics; the banded
+        # grid statically skips prefix blocks below every q's window.
+        # Requires an EXACT prefix (prefix_valid bucketing stays
+        # full-causal-only: q_position_offset is static).
+        cross_kw = dict(is_causal=False)
+        self_kw = {}
+        if cfg.window_size is not None:
+            assert prefix_valid is None, "windowed chunks use exact prefixes"
+            cross_kw = dict(
+                is_causal=True, window_size=cfg.window_size,
+                sink_size=cfg.sink_size, q_position_offset=s_pre,
+            )
+            # suffix self-attention: same band; suffix keys are global
+            # sinks only where s_pre < sink_size (within-chunk distances
+            # equal global distances, so offset 0 is correct for the band)
+            self_kw = dict(
+                window_size=cfg.window_size,
+                sink_size=max(0, cfg.sink_size - s_pre),
+            )
         if kb == 4:
             k_pre = L._dequant_cache_rows(kc_pre, ks_pre, 4, jnp.bfloat16)
             o1, l1 = lowbit_attention(
                 q, k_pre[None], v_pre[None], fused_quant=True,
-                is_causal=False, return_lse=True, interpret=interpret,
-                **seg_kw,
+                return_lse=True, interpret=interpret,
+                **seg_kw, **cross_kw,
             )
         else:
             o1, l1 = lowbit_attention(
                 q, kc_pre[None], v_pre[None], k_scale=ks_pre[None],
-                fused_quant_q=True, is_causal=False, return_lse=True,
-                interpret=interpret, **seg_kw,
+                fused_quant_q=True, return_lse=True,
+                interpret=interpret, **seg_kw, **cross_kw,
             )
         o2, l2 = lowbit_attention(
             q, k, v.astype(jnp.bfloat16), fused_quant=True,
-            is_causal=True, return_lse=True, interpret=interpret,
+            is_causal=True, return_lse=True, interpret=interpret, **self_kw,
         )
         o = _merge_lse(o1, l1, o2, l2)
         x = x + L._mm(o.swapaxes(1, 2).reshape(b, s, -1).astype(x.dtype), blk["wo"], interpret)
@@ -772,10 +797,6 @@ class ServingEngine:
                     "prefill_budget requires admission='reserve' (a "
                     "half-prefilled request holds pages but is not "
                     "preemptible)")
-            if cfg.window_size is not None:
-                raise ValueError(
-                    "prefill_budget requires full-causal models (the chunk "
-                    "cross-attention over prefilled pages is unwindowed)")
             self._budget = (
                 -(-scfg.prefill_budget // scfg.page_size) * scfg.page_size
             )
@@ -1002,15 +1023,22 @@ class ServingEngine:
         # chunk program compiles per (bucket, sc) pair — O(log pages)
         # variants for a long prompt instead of one per chunk (a 128K
         # prompt at a 4K budget would otherwise compile 32 programs).
-        nb = j0 if j0 == 0 else 1 << (j0 - 1).bit_length()
-        prefix_pids = pages[:j0] + [pages[0]] * (nb - j0)
+        if self.cfg.window_size is None:
+            nb = j0 if j0 == 0 else 1 << (j0 - 1).bit_length()
+            prefix_pids = pages[:j0] + [pages[0]] * (nb - j0)
+            pv = jnp.asarray(done, jnp.int32) if j0 else None
+        else:
+            # windowed chunks: exact prefix (the band's static
+            # q_position_offset is the prefix length) — the banded grid
+            # skips below-window prefix blocks, so compute stays O(W)
+            nb, prefix_pids, pv = j0, pages[:j0], None
         logits, self.caches = self._chunk_prefill(
             self.params,
             self.caches,
             jnp.asarray(prompt[done : done + sc])[None],
             jnp.asarray(prefix_pids, jnp.int32),
             jnp.asarray(pages[j0 : j0 + n_dest], jnp.int32),
-            jnp.asarray(done, jnp.int32) if j0 else None,
+            pv,
         )
         done += sc
         if done < prompt.size:

@@ -219,13 +219,6 @@ def test_budget_validation(llm_setup):
     with pytest.raises(ValueError):
         ServingEngine(params, cfg,
                       _pool(prefill_budget=8, admission="lazy"))
-    wcfg = L.tiny_llm_config(
-        vocab=64, dim=64, depth=1, num_heads=4, num_kv_heads=2, max_seq=128,
-        window_size=16, sink_size=0,
-    )
-    wparams = L.init_llm_params(jax.random.PRNGKey(1), wcfg)
-    with pytest.raises(ValueError):
-        ServingEngine(wparams, wcfg, _pool(prefill_budget=8))
 
 
 def test_prefix_bucketing_exact_and_bounded_compiles(llm_setup):
@@ -282,3 +275,70 @@ def test_prefix_bucketing_exact_and_bounded_compiles(llm_setup):
     assert len(done[rid]) == 4
     n_traced = eng._chunk_prefill._cache_size()
     assert n_traced <= 6, n_traced
+
+
+def _wsetup():
+    wcfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2, max_seq=128,
+        window_size=16, sink_size=4,
+    )
+    return wcfg, L.init_llm_params(jax.random.PRNGKey(1), wcfg)
+
+
+def test_windowed_chunked_prefill_logits_match_full():
+    """Windowed chunk composition (banded cross at the global offset +
+    banded suffix self + global sinks, LSE merge) reproduces the one-shot
+    windowed prefill's first-token logits to quantization accuracy."""
+    from lowbit_quant_fa2_paddle_tpu.serving import (
+        _budgeted_prefill_chunk,
+        _empty_paged_caches,
+        _prefill_forward,
+    )
+
+    wcfg, wparams = _wsetup()
+    scfg = _pool(prefill_budget=8)
+    prompt = np.asarray(LONG_PROMPT, np.int32)  # 40 tokens = 5 pages @ 8
+    full_logits, _ = _prefill_forward(
+        wparams, jnp.asarray(prompt)[None], wcfg, (8, 8), None
+    )
+    caches = _empty_paged_caches(wcfg, scfg)
+    pages = list(range(5))
+    logits = None
+    for done in range(0, prompt.size, 8):
+        j0 = done // 8
+        logits, caches = _budgeted_prefill_chunk(
+            wparams, caches, jnp.asarray(prompt[done : done + 8])[None],
+            jnp.asarray(pages[:j0], jnp.int32),
+            jnp.asarray(pages[j0 : j0 + 1], jnp.int32),
+            cfg=wcfg, page_size=8, kv_bits=(8, 8), interpret=None,
+        )
+    a = np.asarray(full_logits, np.float32).ravel()
+    b = np.asarray(logits, np.float32).ravel()
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos
+
+
+def test_windowed_budget_engine_stream_invariance():
+    """Windowed engine + budget: short prompts are bit-identical to the
+    windowed blocking engine, a long admission chunk-prefills without
+    stalling the live slot, and rolling reclamation still bounds pages."""
+    wcfg, wparams = _wsetup()
+    eng_b = ServingEngine(wparams, wcfg, _pool())
+    ra_b = eng_b.add_request(PROMPTS[0][0], 24)
+    solo = eng_b.run()[ra_b]
+
+    eng = ServingEngine(wparams, wcfg, _pool(prefill_budget=8))
+    ra = eng.add_request(PROMPTS[0][0], 24)
+    for _ in range(3):
+        eng.step()
+    rb = eng.add_request(LONG_PROMPT, 6)  # 5 chunks mid-flight
+    ticks = 0
+    n0 = len(eng.outputs[ra])
+    while rb in eng._prompts:
+        eng.step()
+        ticks += 1
+        assert len(eng.outputs[ra]) == n0 + ticks  # no stall
+        assert ticks < 20
+    done = eng.run()
+    assert done[ra] == solo, (done[ra], solo)
+    assert len(done[rb]) == 6
