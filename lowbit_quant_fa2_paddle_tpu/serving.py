@@ -690,6 +690,31 @@ def _write_pages(caches: List[dict], payload: List[dict], pids: jax.Array):
     ]
 
 
+@functools.lru_cache(maxsize=64)
+def _shared_jit(kind: str, cfg: L.LLMConfig, page_size: int,
+                kv_bits: Tuple[int, int], interpret: Optional[bool]):
+    """Process-wide cache of the engine's jitted step programs keyed by
+    their static configuration: every ServingEngine with the same (model
+    cfg, page size, cache bits, interpret) SHARES compiled executables
+    instead of recompiling per engine instance — engine construction is
+    cheap, and multi-engine processes (benches, A/B serving, rebuild-on-
+    config) skip the per-engine re-warmup that used to dominate their
+    walls. LLMConfig is a frozen (hashable) dataclass, so it keys
+    directly; donation stays per-call and is unaffected by sharing."""
+    fns = {
+        "decode": _decode_step,
+        "decode_sample": _decode_sample_step,
+        "multi": _multi_decode_steps,
+        "spec": _spec_decode_step,
+        "chunk_prefill": _budgeted_prefill_chunk,
+    }
+    kw = {"static_argnames": ("n",)} if kind == "multi" else {}
+    return jax.jit(
+        functools.partial(fns[kind], cfg=cfg, page_size=page_size,
+                          kv_bits=kv_bits, interpret=interpret),
+        donate_argnums=(1,), **kw)
+
+
 class ServingEngine:
     """Single-host continuous-batching engine for the in-repo LLM.
 
@@ -773,16 +798,9 @@ class ServingEngine:
         # budgeted prefills cannot drift numerically. Bucketed prompt
         # lengths keep the per-shape compile count bounded — exactly why
         # real engines bucket prefill (bench/serving_bench.make_workload).
-        self._chunk_prefill = jax.jit(
-            functools.partial(
-                _budgeted_prefill_chunk,
-                cfg=cfg,
-                page_size=scfg.page_size,
-                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                interpret=interpret,
-            ),
-            donate_argnums=(1,),
-        )
+        kbits = (scfg.eff_k_bits, scfg.eff_v_bits)
+        self._chunk_prefill = _shared_jit(
+            "chunk_prefill", cfg, scfg.page_size, kbits, interpret)
         # Budgeted chunked-prefill scheduling (stall-free admissions).
         self._budget: Optional[int] = None
         self._prefilling: "collections.OrderedDict[int, int]" = (
@@ -800,16 +818,8 @@ class ServingEngine:
             self._budget = (
                 -(-scfg.prefill_budget // scfg.page_size) * scfg.page_size
             )
-        self._decode = jax.jit(
-            functools.partial(
-                _decode_step,
-                cfg=cfg,
-                page_size=scfg.page_size,
-                kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                interpret=interpret,
-            ),
-            donate_argnums=(1,),
-        )
+        self._decode = _shared_jit(
+            "decode", cfg, scfg.page_size, kbits, interpret)
         self._async = scfg.async_fetch
         if self._async:
             if scfg.admission != "reserve":
@@ -823,16 +833,8 @@ class ServingEngine:
         self._out_count: Dict[int, int] = {}  # async: emitted-token counts
         self._decode_sample = None
         if self._async:
-            self._decode_sample = jax.jit(
-                functools.partial(
-                    _decode_sample_step,
-                    cfg=cfg,
-                    page_size=scfg.page_size,
-                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                    interpret=interpret,
-                ),
-                donate_argnums=(1,),
-            )
+            self._decode_sample = _shared_jit(
+                "decode_sample", cfg, scfg.page_size, kbits, interpret)
         self._multi = None
         self.multi_segments = 0
         if scfg.multi_step > 1:
@@ -843,17 +845,8 @@ class ServingEngine:
             if cfg.window_size is not None:
                 raise ValueError("multi_step requires full-causal models "
                                  "(rolling trim is per-append)")
-            self._multi = jax.jit(
-                functools.partial(
-                    _multi_decode_steps,
-                    cfg=cfg,
-                    page_size=scfg.page_size,
-                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                    interpret=interpret,
-                ),
-                static_argnames=("n",),
-                donate_argnums=(1,),
-            )
+            self._multi = _shared_jit(
+                "multi", cfg, scfg.page_size, kbits, interpret)
         self._spec_decode = None
         self.spec_rounds = self.spec_accepted = 0
         if scfg.spec_ngram > 0:
@@ -864,16 +857,8 @@ class ServingEngine:
             if scfg.spec_k < 2:
                 raise ValueError("spec_k must be >= 2 (room for >= 1 draft)")
             self._ngram: Dict[int, _NgramIndex] = {}
-            self._spec_decode = jax.jit(
-                functools.partial(
-                    _spec_decode_step,
-                    cfg=cfg,
-                    page_size=scfg.page_size,
-                    kv_bits=(scfg.eff_k_bits, scfg.eff_v_bits),
-                    interpret=interpret,
-                ),
-                donate_argnums=(1,),
-            )
+            self._spec_decode = _shared_jit(
+                "spec", cfg, scfg.page_size, kbits, interpret)
 
     # -- request intake ----------------------------------------------------
 
