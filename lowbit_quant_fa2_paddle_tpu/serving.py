@@ -112,8 +112,11 @@ class ServingConfig:
     # greedy decoding). Admissions are only considered at segment
     # boundaries, so waiting work delays by at most one segment. Requires
     # admission="reserve"; not combinable with spec_ngram (the speculative
-    # tick is already multi-token) or window_size (rolling trim is
-    # per-append).
+    # tick is already multi-token). Sliding-window models compose (r5):
+    # rolling reclamation trims conservatively below the segment's FIRST
+    # position (the spec_slack mechanism), so the live-page bound grows by
+    # at most one segment and every page a mid-segment step can read
+    # survives.
     multi_step: int = 1
     # Budgeted chunked-prefill scheduling (Sarathi-Serve / DeepSpeed-FastGen
     # SplitFuse class): when set, an admitted request's prompt prefills in
@@ -842,9 +845,6 @@ class ServingEngine:
                 raise ValueError("multi_step requires admission='reserve'")
             if scfg.spec_ngram > 0:
                 raise ValueError("multi_step and spec_ngram are exclusive")
-            if cfg.window_size is not None:
-                raise ValueError("multi_step requires full-causal models "
-                                 "(rolling trim is per-append)")
             self._multi = _shared_jit(
                 "multi", cfg, scfg.page_size, kbits, interpret)
         self._spec_decode = None
@@ -904,7 +904,11 @@ class ServingEngine:
             # reservation accordingly so "generate forever" admits into a
             # finite pool. (The logical table width still covers the full
             # length; trimmed logicals become holes.)
-            cap = self.cfg.sink_size + self.cfg.window_size + 3 * self.scfg.page_size
+            # +multi_step: a segment pre-appends up to multi_step rows and
+            # trims only below the segment's FIRST position (conservative
+            # spec_slack trim), so the live-page bound grows by a segment
+            cap = (self.cfg.sink_size + self.cfg.window_size
+                   + 3 * self.scfg.page_size + self.scfg.multi_step)
             max_new_sched = max(1, min(max_new_sched, cap))
         rid = self.sched.add(int(prompt.size), max_new_sched + spec_slack, shared)
         if self._spec_decode is not None:
@@ -1329,7 +1333,10 @@ class ServingEngine:
                 new_len = self.sched.append_token(rid)
                 assert new_len > 0, "multi-step append outran the reservation"
             self._lengths[slot] = new_len
-            self._update_slot_table(slot, rid, new_len)
+            # trim below the window start of the segment's FIRST position:
+            # step i inside the scan reads at length0 + i + 1, so pages in
+            # the first step's window must survive the whole segment
+            self._update_slot_table(slot, rid, new_len, spec_slack=n - 1)
         toks, self.caches = self._multi(
             self.params,
             self.caches,

@@ -389,6 +389,42 @@ def test_serving_windowed_rolling_reclamation():
     assert st["free_pages"] == st["num_pages"]  # everything returned
 
 
+def test_serving_windowed_multi_step_token_identical():
+    """Windowed engine + multi-step segments (r5): reclamation trims
+    conservatively below each segment's FIRST position, so scanned steps
+    never read a trimmed page — the stream matches the single-step
+    windowed engine bit-for-bit on CPU, past what the pool could hold
+    untrimmed, and every page returns."""
+    from lowbit_quant_fa2_paddle_tpu.models import llm as L
+    from lowbit_quant_fa2_paddle_tpu.serving import ServingConfig, ServingEngine
+
+    cfg = L.tiny_llm_config(
+        vocab=64, dim=64, depth=2, num_heads=4, num_kv_heads=2,
+        max_seq=256, window_size=16, sink_size=4,
+    )
+    params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prompt = [7, 3, 22, 9, 41, 5, 16, 2]
+    max_new = 80  # 11 pages of 8 untrimmed; pool holds 10
+    eng1 = ServingEngine(
+        params, cfg,
+        ServingConfig(page_size=8, num_pages=10, max_batch=1,
+                      max_pages_per_seq=16),
+    )
+    r1 = eng1.add_request(prompt, max_new)
+    ref = eng1.run()[r1]
+    engm = ServingEngine(
+        params, cfg,
+        ServingConfig(page_size=8, num_pages=10, max_batch=1,
+                      max_pages_per_seq=16, multi_step=4),
+    )
+    rm = engm.add_request(prompt, max_new)
+    got = engm.run()[rm]
+    assert engm.multi_segments > 0
+    assert got == ref, (got[:10], ref[:10])
+    st = engm.stats()
+    assert st["free_pages"] == st["num_pages"]
+
+
 def test_window_requires_causal():
     q, k, v = _qkv(s=256)
     with pytest.raises(AssertionError):
