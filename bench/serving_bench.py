@@ -563,7 +563,9 @@ def main():
     if "window" in args.scenarios:
         # 5: windowed engine — bounded pool, rolling reclamation, long
         # outputs (generation length exceeds what the pool could hold
-        # untrimmed)
+        # untrimmed); plus the r5 multi-step composition (segments trim
+        # conservatively below their first position) — same process,
+        # token agreement reported.
         wcfg = llm.LLMConfig(
             vocab=256, dim=2048, depth=2, num_heads=16, num_kv_heads=4,
             max_seq=2048, dtype=jnp.bfloat16, kv_bits=8,
@@ -571,13 +573,22 @@ def main():
         )
         wparams = llm.init_llm_params(jax.random.PRNGKey(0), wcfg)
         wreqs = [(make_workload(1, seed=50 + i)[0][0], 192) for i in range(8)]
-        row_w, _ = drive(
-            wparams, wcfg,
-            serving.ServingConfig(page_size=64, num_pages=48, max_batch=8,
-                                  kv_bits=8, max_pages_per_seq=16,
-                                  prefix_caching=False),
+        wpool = dict(page_size=64, num_pages=48, max_batch=8, kv_bits=8,
+                     max_pages_per_seq=16, prefix_caching=False)
+        row_w, outs_w = drive(
+            wparams, wcfg, serving.ServingConfig(**wpool),
             wreqs, interpret=interpret)
         results["windowed_rolling"] = row_w
+        wseg_warm = [(wreqs[0][0], n) for n in (20, 6, 3)]
+        row_wm, outs_wm = drive(
+            wparams, wcfg,
+            serving.ServingConfig(multi_step=8, **wpool),
+            wreqs, interpret=interpret, warm_reqs=wseg_warm)
+        row_wm["speedup_vs_single_step"] = round(
+            row_w["wall_s"] / row_wm["wall_s"], 3)
+        row_wm["token_agreement_vs_single_step"] = token_agreement(
+            outs_w, outs_wm)
+        results["windowed_multi_step8"] = row_wm
 
     out = {
         "config": dict(
