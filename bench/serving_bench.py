@@ -346,6 +346,21 @@ def main():
         # extra warm requests)
         row_m["token_agreement_vs_single_step"] = token_agreement(outs_1, outs_m)
         results["steady_multi_step8"] = row_m
+        # ...and further up the segment ladder: n=32 keeps amortizing the
+        # tick round trip until retirement granularity (96-token outputs)
+        # caps it — the committed steady record (1726 tok/s, 6.16x).
+        seg_warm32 = [(rng.randint(0, 256, size=128).tolist(), k)
+                      for k in (40, 20, 10)]
+        row_m32, outs_m32 = drive(
+            params, cfg,
+            serving.ServingConfig(prefix_caching=False, multi_step=32,
+                                  **base),
+            ms_reqs, interpret=interpret, warm_reqs=seg_warm + seg_warm32)
+        row_m32["speedup_vs_single_step"] = round(
+            row_1["wall_s"] / row_m32["wall_s"], 3)
+        row_m32["token_agreement_vs_single_step"] = token_agreement(
+            outs_1, outs_m32)
+        results["steady_multi_step32"] = row_m32
 
     if "multistep-mixed" in args.scenarios:
         # ...and on the mixed continuous-batching workload (queue > slots):
