@@ -348,7 +348,7 @@ def main():
         results["steady_multi_step8"] = row_m
         # ...and further up the segment ladder: n=32 keeps amortizing the
         # tick round trip until retirement granularity (96-token outputs)
-        # caps it — the committed steady record (1726 tok/s, 6.16x).
+        # caps it — the committed steady record (1693 tok/s, 6.29x).
         seg_warm32 = [(rng.randint(0, 256, size=128).tolist(), k)
                       for k in (40, 20, 10)]
         row_m32, outs_m32 = drive(

@@ -1020,7 +1020,7 @@ class ServingEngine:
             # windowed chunks: exact prefix (the band's static
             # q_position_offset is the prefix length) — the banded grid
             # skips below-window prefix blocks, so compute stays O(W)
-            nb, prefix_pids, pv = j0, pages[:j0], None
+            prefix_pids, pv = pages[:j0], None
         logits, self.caches = self._chunk_prefill(
             self.params,
             self.caches,
